@@ -1,0 +1,189 @@
+"""Rotated-box overlap / IoU / GIoU as pure XLA programs.
+
+Replaces the reference's iou3d_nms CUDA extension
+(ops/iou3d_nms/src/iou3d_nms_kernel.cu: box_overlap, box_union, iou_bev).
+Instead of per-thread polygon clipping, every pair computes a fixed 24-slot
+candidate set for the intersection polygon (8 contained corners + 16 edge
+crossings), sorts it by angle, and runs a masked shoelace — all static shapes,
+vmapped over the NxM pair grid so the VPU sees one big fused elementwise
+program. The union convex hull (for GIoU) is a fixed-iteration Jarvis march
+over the 8 corners.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from detzero_tpu.ops.box_ops import boxes_to_corners_bev, boxes3d_to_bev
+
+_EPS = 1e-8
+
+
+def _corners_in_box(corners, box):
+    """(4, 2) corners vs one BEV box (5,) -> (4,) bool (inclusive)."""
+    d = corners - box[:2]
+    c, s = jnp.cos(-box[4]), jnp.sin(-box[4])
+    lx = d[:, 0] * c - d[:, 1] * s
+    ly = d[:, 0] * s + d[:, 1] * c
+    return (jnp.abs(lx) <= box[2] / 2 + 1e-5) & (jnp.abs(ly) <= box[3] / 2 + 1e-5)
+
+
+def _edge_intersections(ca, cb):
+    """All 16 segment-pair crossings between two quads. -> pts (16,2), valid (16,)."""
+    p1 = ca  # (4,2)
+    p2 = jnp.roll(ca, -1, axis=0)
+    q1 = cb
+    q2 = jnp.roll(cb, -1, axis=0)
+    d1 = (p2 - p1)[:, None, :]  # (4,1,2)
+    d2 = (q2 - q1)[None, :, :]  # (1,4,2)
+    w = q1[None, :, :] - p1[:, None, :]  # (4,4,2)
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]  # (4,4)
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    t = (w[..., 0] * d2[..., 1] - w[..., 1] * d2[..., 0]) / safe
+    u = (w[..., 0] * d1[..., 1] - w[..., 1] * d1[..., 0]) / safe
+    valid = (
+        (jnp.abs(denom) > _EPS)
+        & (t >= -1e-6) & (t <= 1 + 1e-6)
+        & (u >= -1e-6) & (u <= 1 + 1e-6)
+    )
+    pts = p1[:, None, :] + t[..., None] * d1
+    return pts.reshape(16, 2), valid.reshape(16)
+
+
+def _pair_overlap_bev(box_a, box_b):
+    """Intersection area of two BEV boxes (5,) [x,y,dx,dy,heading]."""
+    ca = boxes_to_corners_bev(box_a[None])[0]
+    cb = boxes_to_corners_bev(box_b[None])[0]
+    in_b = _corners_in_box(ca, box_b)
+    in_a = _corners_in_box(cb, box_a)
+    cross_pts, cross_valid = _edge_intersections(ca, cb)
+    pts = jnp.concatenate([ca, cb, cross_pts], axis=0)  # (24, 2)
+    valid = jnp.concatenate([in_b, in_a, cross_valid], axis=0)  # (24,)
+    n = valid.sum()
+    vf = valid.astype(pts.dtype)[:, None]
+    centroid = (pts * vf).sum(0) / jnp.maximum(n, 1)
+    rel = pts - centroid
+    ang = jnp.where(valid, jnp.arctan2(rel[:, 1], rel[:, 0]), 1e10)
+    order = jnp.argsort(ang)
+    sp = rel[order]  # sorted relative points, invalid last
+    idx = jnp.arange(24)
+    nxt = jnp.where(idx == n - 1, 0, idx + 1)
+    contrib = sp[:, 0] * sp[nxt, 1] - sp[nxt, 0] * sp[:, 1]
+    area = jnp.abs(jnp.where(idx < n, contrib, 0.0).sum()) / 2.0
+    return jnp.where(n >= 3, area, 0.0)
+
+
+def _pair_union_hull_bev(box_a, box_b):
+    """Convex-hull area of the 8 corners (reference box_union,
+    iou3d_nms_kernel.cu:235) via 8-step Jarvis march."""
+    pts = jnp.concatenate(
+        [boxes_to_corners_bev(box_a[None])[0], boxes_to_corners_bev(box_b[None])[0]], 0
+    )  # (8, 2)
+    key = jnp.stack([pts[:, 1], pts[:, 0]], axis=0)
+    start = jnp.lexsort(key[::-1])[0]  # lowest y, then lowest x
+
+    s_pt = pts[start]
+
+    def step(carry, _):
+        cur, done, area = carry
+        cur_pt = pts[cur]
+        v = pts - cur_pt  # (8, 2)
+        dist2 = (v * v).sum(-1)
+        # scale-free turn test: cross of unit directions = sin(angle), so a
+        # fixed epsilon works at any scene scale (raw float32 cross products
+        # at ~20 m coordinates carry ~1e-2 absolute noise).
+        nv = v / jnp.sqrt(dist2 + 1e-20)[:, None]
+        cross = nv[:, None, 0] * nv[None, :, 1] - nv[:, None, 1] * nv[None, :, 0]
+        distinct = dist2 > 1e-12
+        # next hull vertex: every other (distinct) point lies right of cur->j
+        right_of_all = (~distinct[None, :] | (cross <= 1e-5)).all(axis=1)
+        cand = right_of_all & distinct
+        nxt = jnp.argmax(jnp.where(cand, dist2, -1.0))
+        any_cand = cand.any()
+        nxt_pt = pts[nxt]
+        contrib = jnp.where(
+            done | ~any_cand,
+            0.0,
+            ((cur_pt[0] - s_pt[0]) * (nxt_pt[1] - s_pt[1])
+             - (nxt_pt[0] - s_pt[0]) * (cur_pt[1] - s_pt[1])) / 2.0,
+        )
+        new_done = done | (nxt == start) | ~any_cand
+        new_cur = jnp.where(done, cur, nxt)
+        return (new_cur, new_done, area + contrib), None
+
+    (_, _, area), _ = jax.lax.scan(step, (start, False, 0.0), None, length=8)
+    return jnp.abs(area)
+
+
+def boxes_overlap_bev(boxes_a, boxes_b):
+    """(N,5) x (M,5) -> (N,M) rotated intersection areas."""
+    return jax.vmap(lambda a: jax.vmap(lambda b: _pair_overlap_bev(a, b))(boxes_b))(boxes_a)
+
+
+def boxes_union_hull_bev(boxes_a, boxes_b):
+    """(N,5) x (M,5) -> (N,M) convex-hull areas of corner union."""
+    return jax.vmap(lambda a: jax.vmap(lambda b: _pair_union_hull_bev(a, b))(boxes_b))(boxes_a)
+
+
+def boxes_iou_bev(boxes_a, boxes_b):
+    """(N,5) x (M,5) -> (N,M) rotated BEV IoU."""
+    ov = boxes_overlap_bev(boxes_a, boxes_b)
+    area_a = (boxes_a[:, 2] * boxes_a[:, 3])[:, None]
+    area_b = (boxes_b[:, 2] * boxes_b[:, 3])[None, :]
+    return ov / jnp.clip(area_a + area_b - ov, 1e-6, None)
+
+
+def _height_overlap(boxes_a, boxes_b):
+    amax = (boxes_a[:, 2] + boxes_a[:, 5] / 2)[:, None]
+    amin = (boxes_a[:, 2] - boxes_a[:, 5] / 2)[:, None]
+    bmax = (boxes_b[:, 2] + boxes_b[:, 5] / 2)[None, :]
+    bmin = (boxes_b[:, 2] - boxes_b[:, 5] / 2)[None, :]
+    return jnp.clip(jnp.minimum(amax, bmax) - jnp.maximum(amin, bmin), 0.0, None)
+
+
+def boxes_iou3d(boxes_a, boxes_b):
+    """(N,7) x (M,7) -> (N,M) 3D IoU (iou3d_nms_utils.py:74-107)."""
+    ov_bev = boxes_overlap_bev(boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
+    ov3d = ov_bev * _height_overlap(boxes_a, boxes_b)
+    vol_a = jnp.prod(boxes_a[:, 3:6], axis=1)[:, None]
+    vol_b = jnp.prod(boxes_b[:, 3:6], axis=1)[None, :]
+    return ov3d / jnp.clip(vol_a + vol_b - ov3d, 1e-6, None)
+
+
+def boxes_giou3d(boxes_a, boxes_b):
+    """(N,7) x (M,7) -> (N,M) GIoU3D, matching the reference's formulation
+    (iou3d_nms_utils.py:110-151) including its union-height expression."""
+    bev_a, bev_b = boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b)
+    ov_bev = boxes_overlap_bev(bev_a, bev_b)
+    hull_bev = boxes_union_hull_bev(bev_a, bev_b)
+    ov_h = _height_overlap(boxes_a, boxes_b)
+    amax = (boxes_a[:, 2] + boxes_a[:, 5] / 2)[:, None]
+    amin = (boxes_a[:, 2] - boxes_a[:, 5] / 2)[:, None]
+    bmax = (boxes_b[:, 2] + boxes_b[:, 5] / 2)[None, :]
+    bmin = (boxes_b[:, 2] - boxes_b[:, 5] / 2)[None, :]
+    union_h = jnp.clip(jnp.minimum(amax, bmax) - jnp.minimum(amin, bmin), 0.0, None)
+    ov3d = ov_bev * ov_h
+    hull3d = jnp.clip(hull_bev * union_h, 1e-6, None)
+    vol_a = jnp.prod(boxes_a[:, 3:6], axis=1)[:, None]
+    vol_b = jnp.prod(boxes_b[:, 3:6], axis=1)[None, :]
+    union3d = jnp.clip(vol_a + vol_b - ov3d, 1e-6, None)
+    return ov3d / union3d - (hull3d - union3d) / hull3d
+
+
+def boxes_iou_normal(boxes_a, boxes_b):
+    """Axis-aligned BEV IoU (box_utils.py:269)."""
+    ax1 = boxes_a[:, 0] - boxes_a[:, 3] / 2
+    ax2 = boxes_a[:, 0] + boxes_a[:, 3] / 2
+    ay1 = boxes_a[:, 1] - boxes_a[:, 4] / 2
+    ay2 = boxes_a[:, 1] + boxes_a[:, 4] / 2
+    bx1 = boxes_b[:, 0] - boxes_b[:, 3] / 2
+    bx2 = boxes_b[:, 0] + boxes_b[:, 3] / 2
+    by1 = boxes_b[:, 1] - boxes_b[:, 4] / 2
+    by2 = boxes_b[:, 1] + boxes_b[:, 4] / 2
+    ix = jnp.clip(jnp.minimum(ax2[:, None], bx2[None]) - jnp.maximum(ax1[:, None], bx1[None]), 0, None)
+    iy = jnp.clip(jnp.minimum(ay2[:, None], by2[None]) - jnp.maximum(ay1[:, None], by1[None]), 0, None)
+    inter = ix * iy
+    area_a = ((ax2 - ax1) * (ay2 - ay1))[:, None]
+    area_b = ((bx2 - bx1) * (by2 - by1))[None]
+    return inter / jnp.clip(area_a + area_b - inter, 1e-6, None)
