@@ -1,0 +1,53 @@
+"""Benchmark: flagship CenterPoint inference at Waymo scale, frames/sec/chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput (SURVEY §6); we use an
+estimated 20 frames/sec for single-model (no-TTA) CenterPoint-Res inference on
+one A100 as the denominator (typical OpenPCDet-class numbers; to be replaced
+by a measured value when reference hardware is available — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+A100_EST_FPS = 20.0
+
+
+def main():
+    import jax
+
+    tiny = os.environ.get("BENCH_TINY", "0") == "1" or jax.devices()[0].platform == "cpu"
+    os.environ["GRAFT_TINY"] = "1" if tiny else "0"
+    import __graft_entry__ as g
+
+    fn, (variables, pts, pv) = g.entry()
+    step = jax.jit(fn)
+
+    out = step(variables, pts, pv)
+    jax.block_until_ready(out)  # compile + warmup
+
+    n_iter = 5 if tiny else 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(variables, pts, pv)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    frames = n_iter * pts.shape[0]
+    fps = frames / dt
+
+    print(json.dumps({
+        "metric": "centerpoint_waymo_inference" + ("_tiny" if tiny else ""),
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / A100_EST_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Shared flax building blocks.
+
+Replaces the reference's torch layer builders (model_utils.py:81-135
+make_linear/fc/conv_layers: Linear/Conv + BN(eps 1e-3, momentum 0.01) + ReLU)
+with TPU-idiomatic equivalents. Two departures from stock flax:
+
+  * MaskedBatchNorm — sparse voxel tables are padded to a static budget, so
+    batch statistics must be computed over *valid rows only*; stats are
+    synchronized over vmap/data axes via lax.pmean (the reference's
+    SyncBatchNorm, train.py:126, becomes free).
+  * compute dtype is a knob (bfloat16 on TPU), params/stats stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the leading (row) axis with a row-validity mask.
+
+    Matches the reference BN hyperparams (eps 1e-3, torch momentum 0.01 ==
+    decay 0.99). axis_names: collective axes (vmap batch axis and/or the data
+    mesh axis) to average statistics over.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    axis_names: Sequence[str] = ()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            if mask is not None:
+                m = mask.astype(jnp.float32)
+                while m.ndim < xf.ndim:
+                    m = m[..., None]
+                cnt = m.sum()
+                s = (xf * m).sum(axis=reduce_axes)
+                ss = (xf * xf * m).sum(axis=reduce_axes)
+            else:
+                n_rows = 1
+                for d in x.shape[:-1]:
+                    n_rows *= d
+                cnt = jnp.asarray(float(n_rows))
+                s = xf.sum(axis=reduce_axes)
+                ss = (xf * xf).sum(axis=reduce_axes)
+            for ax in self.axis_names:
+                cnt = jax.lax.psum(cnt, ax)
+                s = jax.lax.psum(s, ax)
+                ss = jax.lax.psum(ss, ax)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s / cnt
+            var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class MLP(nn.Module):
+    """Dense+BN+ReLU stack (reference make_linear_layers / make_fc_layers)."""
+
+    features: Sequence[int]
+    use_running_average: bool = False
+    final_act: bool = True
+    axis_names: Sequence[str] = ()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, use_bias=False, dtype=self.dtype, name=f"dense{i}")(x)
+            x = MaskedBatchNorm(
+                use_running_average=self.use_running_average,
+                axis_names=self.axis_names, dtype=self.dtype, name=f"bn{i}",
+            )(x, mask)
+            if self.final_act or i + 1 < len(self.features):
+                x = nn.relu(x)
+        return x
+
+
+class ConvBNReLU(nn.Module):
+    """2D conv + BN + ReLU on NHWC BEV maps (reference make_conv_layers)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_running_average: bool = False
+    act: bool = True
+    axis_names: Sequence[str] = ()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="SAME", use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = MaskedBatchNorm(
+            use_running_average=self.use_running_average,
+            axis_names=self.axis_names, dtype=self.dtype,
+        )(x)
+        return nn.relu(x) if self.act else x

@@ -171,6 +171,21 @@ def boxes_giou3d(boxes_a, boxes_b):
     return ov3d / union3d - (hull3d - union3d) / hull3d
 
 
+def boxes_iou3d_pairwise(boxes_a, boxes_b):
+    """(N,7) x (N,7) -> (N,) matched-pair 3D IoU (used by the center head's
+    IoU-prediction branch, center_head.py:163-200 _iou_target)."""
+    ov_bev = jax.vmap(_pair_overlap_bev)(boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
+    amax = boxes_a[:, 2] + boxes_a[:, 5] / 2
+    amin = boxes_a[:, 2] - boxes_a[:, 5] / 2
+    bmax = boxes_b[:, 2] + boxes_b[:, 5] / 2
+    bmin = boxes_b[:, 2] - boxes_b[:, 5] / 2
+    ov_h = jnp.clip(jnp.minimum(amax, bmax) - jnp.maximum(amin, bmin), 0.0, None)
+    ov3d = ov_bev * ov_h
+    vol_a = jnp.prod(boxes_a[:, 3:6], axis=1)
+    vol_b = jnp.prod(boxes_b[:, 3:6], axis=1)
+    return ov3d / jnp.clip(vol_a + vol_b - ov3d, 1e-6, None)
+
+
 def boxes_iou_normal(boxes_a, boxes_b):
     """Axis-aligned BEV IoU (box_utils.py:269)."""
     ax1 = boxes_a[:, 0] - boxes_a[:, 3] / 2
