@@ -1,0 +1,160 @@
+"""GRM / PRM / CRM refining models: shapes, losses, masking, quick overfit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from detzero_tpu.models.refining import (
+    ConfidencePointNet, GeometryTransformer, PositionTransformer,
+    crm_decode, crm_loss, grm_decode, grm_loss, prm_decode, prm_loss,
+)
+from detzero_tpu.models.refining import target_assign as ta
+
+
+ANCHORS = np.array([[4.7, 2.1, 1.7], [8.5, 2.8, 3.2], [12.0, 2.9, 3.6]])
+
+
+def test_size_anchor_roundtrip():
+    gt = jnp.asarray([4.9, 2.0, 1.8])
+    cls, res = ta.encode_size(gt, ANCHORS)  # cls (), res (K, 3)
+    assert int(cls) == 0
+    logits = jax.nn.one_hot(cls, 3) * 10.0  # (K,)
+    dec = ta.decode_size(logits, res, ANCHORS)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(gt), rtol=1e-4)
+
+
+def test_heading_bin_roundtrip():
+    h = jnp.asarray([-3.0, -1.0, 0.0, 0.5, 3.0])
+    b, r = ta.encode_heading(h)
+    logits = jax.nn.one_hot(b, ta.NUM_HEADING_BINS) * 10
+    res = jnp.zeros((5, ta.NUM_HEADING_BINS)).at[jnp.arange(5), b].set(r)
+    dec = ta.decode_heading(logits, res)
+    np.testing.assert_allclose(np.sin(np.asarray(dec)), np.sin(np.asarray(h)), atol=1e-5)
+    np.testing.assert_allclose(np.cos(np.asarray(dec)), np.cos(np.asarray(h)), atol=1e-5)
+
+
+def _grm_inputs(rng, q=3, npts=64, m=256, f=11):
+    qp = rng.randn(q, npts, f).astype(np.float32)
+    qs = np.abs(rng.randn(q, 3)).astype(np.float32) + 3
+    mp = rng.randn(m, f).astype(np.float32)
+    mm = np.ones(m, bool)
+    mm[m // 2:] = False
+    return qp, qs, mp, mm
+
+
+def test_grm_forward_and_overfit():
+    rng = np.random.RandomState(0)
+    model = GeometryTransformer(d_model=64)
+    qp, qs, mp, mm = _grm_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), qp, qs, mp, mm)
+    pred = model.apply(params, qp, qs, mp, mm)
+    assert pred["anchor_logits"].shape == (1, 3, 3)
+    assert pred["size_res"].shape == (1, 3, 3, 3)
+
+    gt_size = jnp.asarray([4.9, 2.0, 1.8])
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def lfn(p):
+            out = model.apply(p, qp, qs, mp, mm)
+            return grm_loss(out, gt_size, ANCHORS)[0]
+        loss, g = jax.value_and_grad(lfn)(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    size = grm_decode(model.apply(params, qp, qs, mp, mm), ANCHORS)
+    np.testing.assert_allclose(np.asarray(size), np.asarray(gt_size), atol=0.5)
+
+
+def test_prm_forward_loss_masking():
+    rng = np.random.RandomState(1)
+    t, npts, nm, f = 16, 32, 8, 8
+    model = PositionTransformer(d_model=64, mem_points=nm)
+    qp = rng.randn(t, npts, f).astype(np.float32)
+    qb = rng.randn(t, 4).astype(np.float32)
+    mp = rng.randn(t, nm, f).astype(np.float32)
+    mask = np.ones(t, bool)
+    mask[10:] = False
+    params = model.init(jax.random.PRNGKey(0), qp, qb, mp, mask)
+    pred = model.apply(params, qp, qb, mp, mask)
+    assert pred["center"].shape == (1, t, 3)
+    assert pred["heading_logits"].shape == (1, t, ta.NUM_HEADING_BINS)
+
+    gt_c = rng.randn(t, 3).astype(np.float32)
+    gt_h = rng.uniform(-np.pi, np.pi, t).astype(np.float32)
+    loss, aux = prm_loss(pred, gt_c, gt_h, mask)
+    assert np.isfinite(float(loss))
+    # padded boxes must not affect the loss
+    gt_c2 = gt_c.copy()
+    gt_c2[10:] += 100.0
+    loss2, _ = prm_loss(pred, gt_c2, gt_h, mask)
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-6)
+    c, h = prm_decode(pred)
+    assert c.shape == (t, 3) and h.shape == (t,)
+
+
+def test_prm_padding_invariance_forward():
+    """Changing padded box contents must not change valid-box outputs."""
+    rng = np.random.RandomState(2)
+    t, npts, nm, f = 8, 16, 4, 8
+    model = PositionTransformer(d_model=32, mem_points=nm)
+    qp = rng.randn(t, npts, f).astype(np.float32)
+    qb = rng.randn(t, 4).astype(np.float32)
+    mp = rng.randn(t, nm, f).astype(np.float32)
+    mask = np.ones(t, bool)
+    mask[5:] = False
+    params = model.init(jax.random.PRNGKey(0), qp, qb, mp, mask)
+    p1 = model.apply(params, qp, qb, mp, mask)
+    qp2, mp2 = qp.copy(), mp.copy()
+    qp2[5:] = 999.0
+    mp2[5:] = -999.0
+    p2 = model.apply(params, qp2, qb, mp2, mask)
+    np.testing.assert_allclose(
+        np.asarray(p1["center"][:, :5]), np.asarray(p2["center"][:, :5]),
+        atol=1e-4,
+    )
+
+
+def test_crm_forward_loss_decode():
+    rng = np.random.RandomState(3)
+    t, npts, f = 16, 32, 8
+    model = ConfidencePointNet(d_model=64)
+    pts = rng.randn(t, npts, f).astype(np.float32)
+    mask = np.ones(t, bool)
+    mask[12:] = False
+    params = model.init(jax.random.PRNGKey(0), pts, mask)
+    pred = model.apply(params, pts, mask)
+    assert pred["score_logit"].shape == (t,)
+
+    ious = rng.rand(t).astype(np.float32)
+    loss, aux = crm_loss(pred, ious, mask)
+    assert np.isfinite(float(loss))
+    conf = crm_decode(pred)
+    assert ((np.asarray(conf) >= 0) & (np.asarray(conf) <= 1)).all()
+
+    # overfit: high-iou boxes -> high confidence, low-iou -> low
+    ious_bin = np.where(np.arange(t) % 2 == 0, 0.9, 0.1).astype(np.float32)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def lfn(p):
+            return crm_loss(model.apply(p, pts, mask), ious_bin, mask)[0]
+        loss, g = jax.value_and_grad(lfn)(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    for _ in range(60):
+        params, opt, loss = step(params, opt)
+    conf = np.asarray(crm_decode(model.apply(params, pts, mask)))
+    assert conf[0] > conf[1] + 0.2, conf[:4]
