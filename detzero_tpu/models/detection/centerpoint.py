@@ -139,10 +139,16 @@ class CenterPoint:
         return table, plan
 
     def init(self, rng, points, points_valid):
-        """points (B, P, F). Returns variables (params + batch_stats)."""
-        table, plan = self._tables(points, points_valid)
-        return self.net.init(rng, table["voxel_features"], plan,
-                             method=self._vmapped_call())
+        """points (B, P, F). Returns variables (params + batch_stats).
+        Jitted as one program: eager init would dispatch thousands of single
+        ops, which is pathological on a remote-tunneled TPU backend."""
+
+        def _init(rng, points, points_valid):
+            table, plan = self._tables(points, points_valid)
+            return self.net.init(rng, table["voxel_features"], plan,
+                                 method=self._vmapped_call())
+
+        return jax.jit(_init)(rng, points, points_valid)
 
     def apply(self, variables, points, points_valid, train: bool,
               mutable_stats: bool = True):

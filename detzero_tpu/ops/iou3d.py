@@ -2,12 +2,17 @@
 
 Replaces the reference's iou3d_nms CUDA extension
 (ops/iou3d_nms/src/iou3d_nms_kernel.cu: box_overlap, box_union, iou_bev).
-Instead of per-thread polygon clipping, every pair computes a fixed 24-slot
-candidate set for the intersection polygon (8 contained corners + 16 edge
-crossings), sorts it by angle, and runs a masked shoelace — all static shapes,
-vmapped over the NxM pair grid so the VPU sees one big fused elementwise
-program. The union convex hull (for GIoU) is a fixed-iteration Jarvis march
-over the 8 corners.
+
+The pair-overlap core is a **sort-free, gather-free Sutherland–Hodgman
+clip**: polygon A is clipped by B's four half-planes in a fixed 16-slot
+buffer; after each pass the surviving vertices are re-compacted to the front
+by a one-hot (16x32) matmul — so the whole NxM pair grid lowers to elementwise
+VPU ops plus tiny batched MXU matmuls. (A first implementation used per-pair
+angle argsorts + dynamic gathers; XLA lowers those catastrophically on TPU —
+1.5 s for a 1024^2 IoU matrix vs ~ms for this formulation.)
+
+The union convex hull (for GIoU) is a fixed-iteration Jarvis march over the 8
+corners (host/tracking path, not on the hot decode path).
 """
 
 from __future__ import annotations
@@ -51,26 +56,57 @@ def _edge_intersections(ca, cb):
     return pts.reshape(16, 2), valid.reshape(16)
 
 
+_CAP = 8  # polygon buffer slots: clipping a convex quad by one half-plane
+# adds at most one vertex, so 4 passes need only 4+4=8 slots.
+
+
 def _pair_overlap_bev(box_a, box_b):
-    """Intersection area of two BEV boxes (5,) [x,y,dx,dy,heading]."""
-    ca = boxes_to_corners_bev(box_a[None])[0]
+    """Intersection area of two BEV boxes (5,) [x,y,dx,dy,heading].
+
+    Sutherland–Hodgman with compacted fixed-slot buffers: every op is
+    elementwise or a (32,16) one-hot contraction — no sorts, no dynamic
+    gathers, so the vmapped NxM pair grid stays on the VPU/MXU.
+    """
+    ca = boxes_to_corners_bev(box_a[None])[0]  # (4, 2) ccw
     cb = boxes_to_corners_bev(box_b[None])[0]
-    in_b = _corners_in_box(ca, box_b)
-    in_a = _corners_in_box(cb, box_a)
-    cross_pts, cross_valid = _edge_intersections(ca, cb)
-    pts = jnp.concatenate([ca, cb, cross_pts], axis=0)  # (24, 2)
-    valid = jnp.concatenate([in_b, in_a, cross_valid], axis=0)  # (24,)
+
+    poly = jnp.zeros((_CAP, 2), ca.dtype).at[:4].set(ca)
+    valid = jnp.arange(_CAP) < 4
+    slot = jnp.arange(_CAP)
+
+    for e in range(4):
+        p1 = cb[e]
+        p2 = cb[(e + 1) % 4]
+        ex, ey = p2[0] - p1[0], p2[1] - p1[1]
+        # ccw clip polygon: interior is left of the directed edge
+        d = ex * (poly[:, 1] - p1[1]) - ey * (poly[:, 0] - p1[0])  # (CAP,)
+        n = valid.sum()
+        # on-edge tolerance: coincident edges (box vs itself) sit at
+        # d ~ -1e-4 in f32 at scene scale
+        inside = (d >= -1e-3) & valid
+        # polygon is compacted: next vertex of i is i+1, wrapping n-1 -> 0
+        nxt_poly = jnp.where((slot == n - 1)[:, None], poly[0], jnp.roll(poly, -1, 0))
+        nxt_d = jnp.where(slot == n - 1, d[0], jnp.roll(d, -1))
+        nxt_inside = jnp.where(slot == n - 1, inside[0],
+                               jnp.roll(inside, -1)) & valid
+        crossing = valid & (inside != nxt_inside)
+        denom = d - nxt_d
+        t = d / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+        ipt = poly + t[:, None] * (nxt_poly - poly)
+        # emit interleaved: slot 2i = vertex (if inside), 2i+1 = crossing
+        emit_pts = jnp.stack([poly, ipt], axis=1).reshape(2 * _CAP, 2)
+        emit_valid = jnp.stack([inside, crossing], axis=1).reshape(2 * _CAP)
+        # compact to the front via one-hot contraction (rides the MXU)
+        rank = jnp.cumsum(emit_valid) - 1
+        onehot = ((rank[:, None] == slot[None, :]) & emit_valid[:, None])
+        poly = jnp.dot(onehot.astype(poly.dtype).T, emit_pts,
+                       preferred_element_type=poly.dtype)
+        valid = slot < emit_valid.sum()
+
     n = valid.sum()
-    vf = valid.astype(pts.dtype)[:, None]
-    centroid = (pts * vf).sum(0) / jnp.maximum(n, 1)
-    rel = pts - centroid
-    ang = jnp.where(valid, jnp.arctan2(rel[:, 1], rel[:, 0]), 1e10)
-    order = jnp.argsort(ang)
-    sp = rel[order]  # sorted relative points, invalid last
-    idx = jnp.arange(24)
-    nxt = jnp.where(idx == n - 1, 0, idx + 1)
-    contrib = sp[:, 0] * sp[nxt, 1] - sp[nxt, 0] * sp[:, 1]
-    area = jnp.abs(jnp.where(idx < n, contrib, 0.0).sum()) / 2.0
+    nxt = jnp.where((slot == n - 1)[:, None], poly[0], jnp.roll(poly, -1, 0))
+    contrib = jnp.where(valid, poly[:, 0] * nxt[:, 1] - nxt[:, 0] * poly[:, 1], 0.0)
+    area = jnp.abs(contrib.sum()) / 2.0
     return jnp.where(n >= 3, area, 0.0)
 
 
@@ -116,8 +152,20 @@ def _pair_union_hull_bev(box_a, box_b):
     return jnp.abs(area)
 
 
+def _use_pallas():
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def boxes_overlap_bev(boxes_a, boxes_b):
-    """(N,5) x (M,5) -> (N,M) rotated intersection areas."""
+    """(N,5) x (M,5) -> (N,M) rotated intersection areas. On TPU this
+    dispatches to the Pallas kernel (ops/pallas_iou — ~1000x faster than the
+    vmapped XLA clip, which stays as the CPU/test path)."""
+    if _use_pallas():
+        from detzero_tpu.ops import pallas_iou
+        return pallas_iou.boxes_overlap_bev(boxes_a, boxes_b)
     return jax.vmap(lambda a: jax.vmap(lambda b: _pair_overlap_bev(a, b))(boxes_b))(boxes_a)
 
 
