@@ -43,6 +43,15 @@ class CheckpointManager:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
         return restored, step
 
+    def restore_any(self, step: int | None = None):
+        """Template-free restore of the raw saved pytree (for eval CLIs that
+        only need params/batch_stats out of a full train state)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        return self._mgr.restore(step), step
+
 
 def load_params_partial(params, loaded, logger=None):
     """Shape-tolerant partial load (model_utils.py:8-43): copy leaves whose

@@ -1,0 +1,203 @@
+"""Waymo Open Dataset wiring.
+
+Mirrors the reference's data layout (SURVEY layer map 'Data layout'):
+    data/waymo/ImageSets/{train,val,test}.txt      sequence lists
+    data/waymo/waymo_processed_data/<seq>/NNNN.npy per-frame points
+    data/waymo/waymo_infos_<split>.pkl             per-frame info dicts
+    data/waymo/gt_database_*/ + *_db_infos.pkl     GT sampling database
+
+WaymoDetectionDataset loads info pkls for the split, assembles multi-sweep
+samples through DatasetTemplate (merge_sweeps / prepare_data), and exposes
+the reference evaluation entry point backed by the native metric
+(pipeline/evaluator) instead of the TF1 op.
+
+SyntheticWaymoDataset generates self-consistent random scenes with the same
+schema — it exists so every CLI/train path runs end-to-end in environments
+without the dataset (and doubles as the smoke-test fixture).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from detzero_tpu.core.registry import DATASETS
+from detzero_tpu.data.dataset import DatasetTemplate, get_sweep_idxs, merge_sweeps
+
+
+@DATASETS.register("WaymoDetectionDataset")
+class WaymoDetectionDataset(DatasetTemplate):
+    def __init__(self, dataset_cfg, class_names, training, root_path=None,
+                 logger=None):
+        super().__init__(dataset_cfg, class_names, training, root_path, logger)
+        self.root = Path(root_path or dataset_cfg.get("DATA_PATH", "data/waymo"))
+        self.split = dataset_cfg.get(
+            "DATA_SPLIT", {}).get("train" if training else "test", "train")
+        self.sweep_count = dataset_cfg.get("SWEEP_COUNT", [0, 0])
+        self.infos = []
+        self.init_infos(logger)
+
+    def init_infos(self, logger=None):
+        """Load per-sequence info pkls listed in the split file
+        (waymo_dataset.py:57)."""
+        split_file = self.root / "ImageSets" / f"{self.split}.txt"
+        info_path = self.root / f"waymo_infos_{self.split}.pkl"
+        if info_path.exists():
+            with open(info_path, "rb") as f:
+                self.infos = pickle.load(f)
+        elif split_file.exists():
+            for seq in split_file.read_text().split():
+                p = self.root / "waymo_processed_data" / seq / f"{seq}.pkl"
+                if p.exists():
+                    with open(p, "rb") as f:
+                        self.infos.extend(pickle.load(f))
+        if logger:
+            logger.info(f"waymo {self.split}: {len(self.infos)} frames")
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_points(self, info):
+        seq = info["point_cloud"]["lidar_sequence"]
+        idx = info["point_cloud"]["sample_idx"]
+        p = self.root / "waymo_processed_data" / seq / f"{idx:04d}.npy"
+        return np.load(p)
+
+    def __getitem__(self, index):
+        info = self.infos[index]
+        points = self.get_points(info)
+        sweep_idx = get_sweep_idxs(
+            info["point_cloud"]["sample_idx"], self.sweep_count, len(self.infos))
+        sweep_pts, sweep_poses, sweep_dts = [], [], []
+        for si in sweep_idx:
+            s_info = self.infos[index - (info["point_cloud"]["sample_idx"] - si)]
+            sweep_pts.append(self.get_points(s_info))
+            sweep_poses.append(s_info["pose"])
+            sweep_dts.append(0.1 * (si - info["point_cloud"]["sample_idx"]))
+        points = merge_sweeps(points, info["pose"], sweep_pts, sweep_poses,
+                              sweep_dts)
+        data = {
+            "points": points,
+            "frame_id": info["point_cloud"]["sample_idx"],
+            "sequence_name": info["point_cloud"]["lidar_sequence"],
+            "pose": info["pose"],
+        }
+        if "annos" in info:
+            data["gt_boxes"] = np.asarray(info["annos"]["gt_boxes_lidar"],
+                                          np.float32)
+            data["gt_names"] = np.asarray(info["annos"]["name"])
+        return self.prepare_data(data)
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        """Native Waymo-protocol metrics (replaces the TF1 estimator)."""
+        from detzero_tpu.pipeline.evaluator import (
+            evaluate_detection, format_results_table,
+        )
+        gts = []
+        for info in self.infos[: len(det_annos)]:
+            annos = info.get("annos", {})
+            gts.append({
+                "gt_boxes": np.asarray(annos.get("gt_boxes_lidar",
+                                                 np.zeros((0, 7)))),
+                "name": np.asarray(annos.get("name", [])),
+                "num_points": np.asarray(annos.get("num_points_in_gt",
+                                                   np.zeros(0))),
+            })
+        res = evaluate_detection(det_annos, gts, class_names=tuple(class_names))
+        return format_results_table(res), res
+
+
+@DATASETS.register("SyntheticWaymoDataset")
+class SyntheticWaymoDataset(DatasetTemplate):
+    """Random but physically-consistent scenes in the Waymo schema."""
+
+    def __init__(self, dataset_cfg, class_names, training, root_path=None,
+                 logger=None):
+        super().__init__(dataset_cfg, class_names, training, root_path, logger)
+        self.length = int(dataset_cfg.get("SYNTHETIC_LENGTH", 64))
+        self.seed = int(dataset_cfg.get("SYNTHETIC_SEED", 0))
+        self.n_objects = int(dataset_cfg.get("SYNTHETIC_OBJECTS", 8))
+        self.n_points = int(dataset_cfg.get("SYNTHETIC_POINTS", 20_000))
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        rng = np.random.RandomState(self.seed + index)
+        lo = self.pc_range[:3]
+        hi = self.pc_range[3:]
+        sizes = {"Vehicle": [4.6, 2.0, 1.6], "Pedestrian": [0.9, 0.85, 1.7],
+                 "Cyclist": [1.8, 0.85, 1.7]}
+        names, boxes, obj_pts = [], [], []
+        span = np.minimum(np.abs(lo[:2]), 40)
+        for _ in range(self.n_objects):
+            cls = self.class_names[rng.randint(len(self.class_names))]
+            base = np.asarray(sizes.get(cls, [2, 2, 2]))
+            b = np.concatenate([
+                rng.uniform(-span, span, 2), [0.0],
+                base * rng.uniform(0.85, 1.15, 3),
+                [rng.uniform(-np.pi, np.pi)],
+            ])
+            boxes.append(b)
+            names.append(cls)
+            local = rng.uniform(-0.5, 0.5, (120, 3)) * (b[3:6] * 0.95)
+            c, s = np.cos(b[6]), np.sin(b[6])
+            world = local.copy()
+            world[:, 0] = local[:, 0] * c - local[:, 1] * s + b[0]
+            world[:, 1] = local[:, 0] * s + local[:, 1] * c + b[1]
+            world[:, 2] = local[:, 2] + b[2]
+            obj_pts.append(world)
+        n_bg = self.n_points - 120 * self.n_objects
+        bg = rng.uniform(lo, hi, (max(n_bg, 0), 3))
+        bg[:, 2] = np.abs(rng.randn(len(bg))) * 0.2 - 0.5  # ground-ish
+        xyz = np.concatenate(obj_pts + [bg]).astype(np.float32)
+        extra = rng.rand(len(xyz), 3).astype(np.float32)  # intensity/elong/t
+        data = {
+            "points": np.concatenate([xyz, extra], axis=1),
+            "gt_boxes": np.stack(boxes).astype(np.float32),
+            "gt_names": np.asarray(names, object),
+            "frame_id": index,
+            "sequence_name": f"synthetic_{index // 16:03d}",
+            "pose": np.eye(4, dtype=np.float32),
+        }
+        return self.prepare_data(data)
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        from detzero_tpu.pipeline.evaluator import (
+            evaluate_detection, format_results_table,
+        )
+        gts = []
+        for i in range(len(det_annos)):
+            rng = np.random.RandomState(self.seed + i)
+            # regenerate GT deterministically (same seed path as __getitem__)
+            item = self[i]
+            gts.append({"gt_boxes": np.zeros((0, 7)), "name": np.zeros(0)})
+        return "synthetic eval: use detzero_eval with saved GT", {}
+
+
+def build_dataloader(dataset, batch_size: int, shuffle: bool, num_workers: int = 0,
+                     seed: int = 0, drop_last: bool = True):
+    """Minimal epoch iterator over the dataset with fixed-shape collate.
+    (torch DataLoader is avoidable: samples are numpy and the model consumes
+    whole batches; worker parallelism comes from the C++/thread loader later.)"""
+    import concurrent.futures as cf
+
+    def epoch(ep=0):
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.RandomState(seed + ep).shuffle(order)
+        n = (len(order) // batch_size * batch_size if drop_last else len(order))
+        if num_workers > 0:
+            with cf.ThreadPoolExecutor(num_workers) as pool:
+                for i in range(0, n, batch_size):
+                    samples = list(pool.map(dataset.__getitem__,
+                                            order[i:i + batch_size]))
+                    yield dataset.collate_batch(samples)
+        else:
+            for i in range(0, n, batch_size):
+                yield dataset.collate_batch(
+                    [dataset[j] for j in order[i:i + batch_size]])
+
+    return epoch

@@ -1,0 +1,164 @@
+"""Data-parallel trainer (the reference's train_utils.py:94 train_model +
+DDP stack, re-expressed as one jitted SPMD step).
+
+Replaces: torch DDP gradient allreduce -> implicit psum from batch sharding
+under jit; SyncBatchNorm -> MaskedBatchNorm axis sync; grad clip + OneCycle ->
+optax chain (core/optim); rank-0 checkpoint rotation + auto-resume -> orbax
+(core/checkpoint); tensorboard scalars -> torch SummaryWriter (optional) +
+metrics.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from detzero_tpu.core.checkpoint import CheckpointManager
+from detzero_tpu.core.mesh import DATA_AXIS, make_mesh
+
+
+class Trainer:
+    """Owns {params, batch_stats, opt_state, step} and the jitted step.
+
+    loss_fn(variables, batch) -> (loss, (aux_dict, updated_batch_stats))
+    """
+
+    def __init__(self, loss_fn, optimizer, ckpt_dir=None, logger=None,
+                 mesh=None, max_ckpt=5, log_every=50, tb_dir=None):
+        self.loss_fn = loss_fn
+        self.tx = optimizer
+        self.logger = logger
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.repl_sharding = NamedSharding(self.mesh, P())
+        self.ckpt = CheckpointManager(ckpt_dir, max_ckpt) if ckpt_dir else None
+        self.log_every = log_every
+        self.metrics_path = (Path(ckpt_dir) / "metrics.jsonl") if ckpt_dir else None
+        self.tb = None
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(str(tb_dir))
+            except Exception:
+                pass
+        self._step_fn = None
+        self.state = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, variables):
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        self.state = {
+            "params": jax.device_put(params, self.repl_sharding),
+            "batch_stats": jax.device_put(stats, self.repl_sharding),
+            "opt_state": jax.device_put(self.tx.init(params), self.repl_sharding),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        return self.state
+
+    def resume(self):
+        """Auto-resume from the latest checkpoint (train.py:141-147)."""
+        if self.ckpt is None or self.state is None:
+            return None
+        restored, step = self.ckpt.restore(self.state)
+        if step is not None:
+            self.state = jax.device_put(restored, self.repl_sharding)
+            if self.logger:
+                self.logger.info(f"resumed from step {step}")
+        return step
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        tx, loss_fn = self.tx, self.loss_fn
+
+        def train_step(state, batch):
+            def lfn(params):
+                loss, (aux, updates) = loss_fn(
+                    {"params": params, "batch_stats": state["batch_stats"]},
+                    batch)
+                return loss, (aux, updates)
+
+            (loss, (aux, updates)), grads = jax.value_and_grad(
+                lfn, has_aux=True)(state["params"])
+            upd, opt_state = tx.update(grads, state["opt_state"], state["params"])
+            new_state = {
+                "params": optax.apply_updates(state["params"], upd),
+                "batch_stats": updates.get("batch_stats", state["batch_stats"]),
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            gnorm = optax.global_norm(grads)
+            return new_state, loss, aux, gnorm
+
+        self._step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+    def _shard_batch(self, batch):
+        """Shard rank>=1 array leaves over the data axis; drop non-array
+        metadata (frame ids, poses-as-lists) — the loss only reads arrays."""
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, (np.ndarray, jnp.ndarray)) and np.ndim(v) >= 1:
+                out[k] = jax.device_put(v, self.data_sharding)
+        return out
+
+    def step(self, batch):
+        if self._step_fn is None:
+            self._build_step()
+        self.state, loss, aux, gnorm = self._step_fn(
+            self.state, self._shard_batch(batch))
+        return loss, aux, gnorm
+
+    # ------------------------------------------------------------------
+    def fit(self, batch_iter, total_steps: int, save_every: int = 1000,
+            hooks=()):
+        t0 = time.time()
+        window = []
+        for batch in batch_iter:
+            loss, aux, gnorm = self.step(batch)
+            step = int(self.state["step"])
+            window.append(float(loss))
+            if step % self.log_every == 0:
+                dt = (time.time() - t0) / max(len(window), 1)
+                msg = (f"step {step}/{total_steps} loss {np.mean(window):.4f} "
+                       f"gnorm {float(gnorm):.2f} {dt*1000:.0f} ms/it")
+                if self.logger:
+                    self.logger.info(msg)
+                self._log_metrics(step, {"loss": float(np.mean(window)),
+                                         "gnorm": float(gnorm),
+                                         "ms_per_it": dt * 1000,
+                                         **{k: float(np.mean(v))
+                                            for k, v in aux.items()}})
+                window, t0 = [], time.time()
+            if self.ckpt and step % save_every == 0:
+                self.ckpt.save(step, jax.device_get(self.state))
+            for h in hooks:
+                h(self, step)
+            if step >= total_steps:
+                break
+        if self.ckpt:
+            self.ckpt.save(int(self.state["step"]), jax.device_get(self.state))
+        return self.state
+
+    def _log_metrics(self, step, scalars):
+        if self.metrics_path:
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps({"step": step, **scalars}) + "\n")
+        if self.tb:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)
+
+
+def eval_gather(per_host_results):
+    """Multi-host eval gather: replaces the reference's tmpdir-pickle
+    merge_results_dist (common_utils.py:119-140) with process_allgather."""
+    if jax.process_count() == 1:
+        return per_host_results
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(per_host_results)

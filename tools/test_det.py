@@ -1,0 +1,94 @@
+"""Detection inference/eval CLI (reference detection/tools/test.py surface),
+incl. TTA (--set DATA_CONFIG TTA True equivalent: --set TTA True) and
+result-pickle dumping for the tracking stage."""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    from tools.common import (apply_platform, base_parser,
+                              build_detection_dataset, build_detector,
+                              load_config, setup_experiment)
+
+    parser = base_parser("detzero_tpu detection eval")
+    parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--max_batches", type=int, default=None)
+    args = parser.parse_args()
+    apply_platform(args)
+    cfg = load_config(args)
+    exp_dir, logger = setup_experiment(args, cfg, "test")
+
+    import jax
+    import numpy as np
+    from detzero_tpu.core.checkpoint import CheckpointManager
+    from detzero_tpu.data import tta as tta_mod
+    from detzero_tpu.data.waymo_dataset import build_dataloader
+    from detzero_tpu.ops import wbf
+
+    dataset = build_detection_dataset(cfg, training=False, logger=logger)
+    model = build_detector(cfg)
+    batch_size = 1 if cfg.get("TTA", False) else \
+        int(cfg.get("OPTIMIZATION", {}).get("BATCH_SIZE_PER_DEVICE", 1))
+    loader = build_dataloader(dataset, batch_size, shuffle=False,
+                              num_workers=args.workers, drop_last=False)
+
+    first = next(loader(0))
+    variables = model.init(jax.random.PRNGKey(0), first["points"],
+                           first["points_valid"])
+    ckpt_dir = args.ckpt or (exp_dir / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    state, step = mgr.restore_any()
+    if step is not None:
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        logger.info(f"loaded checkpoint step {step}")
+    else:
+        logger.warning("no checkpoint found — evaluating a random init")
+
+    pp = cfg.get("MODEL", {}).get("POST_PROCESSING", {})
+    predict = jax.jit(lambda v, p, m: model.predict(
+        v, p, m,
+        score_thresh=float(pp.get("SCORE_THRESH", 0.1)),
+        nms_thresh=float(pp.get("NMS_THRESH", 0.7)),
+        nms_pre=int(pp.get("NMS_PRE_MAXSIZE", 1024)),
+        nms_post=int(pp.get("NMS_POST_MAXSIZE", 256))))
+
+    det_annos = []
+    for bi, batch in enumerate(loader(0)):
+        if args.max_batches is not None and bi >= args.max_batches:
+            break
+        preds = predict(variables, batch["points"], batch["points_valid"])
+        dicts = dataset.generate_prediction_dicts(batch, preds)
+        if cfg.get("TTA", False):
+            names, boxes, scores = [], [], []
+            for d, name in zip(dicts, batch["tta_name"]):
+                boxes.append(tta_mod.invert_boxes(d["boxes_lidar"], name))
+                names.append(d["name"])
+                scores.append(d["score"])
+            n, b, s = wbf.wbf_online(
+                np.concatenate(names), np.concatenate(boxes),
+                np.concatenate(scores),
+                class_names=tuple(cfg.get("CLASS_NAMES")))
+            dicts = [{"name": n, "score": s, "boxes_lidar": b,
+                      "frame_id": dicts[0]["frame_id"],
+                      "sequence_name": dicts[0]["sequence_name"],
+                      "pose": dicts[0]["pose"]}]
+        det_annos.extend(dicts)
+
+    if args.save_to_file:
+        out = exp_dir / "result.pkl"
+        with open(out, "wb") as f:
+            pickle.dump(det_annos, f)
+        logger.info(f"saved {len(det_annos)} frames to {out}")
+    table, res = dataset.evaluation(det_annos, cfg.get("CLASS_NAMES", []))
+    logger.info("\n" + str(table))
+
+
+if __name__ == "__main__":
+    main()
