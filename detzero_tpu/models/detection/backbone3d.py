@@ -160,7 +160,8 @@ class VoxelResBackbone8x(nn.Module):
                     x, entry["subm_idx"], entry["subm_found"], entry["mask"]
                 )
             multi_scale[f"x_conv{lvl + 1}"] = {
-                "features": x, "coords": entry["coords"], "mask": entry["mask"],
+                "features": x, "coords": entry["coords"],
+                "mask": entry["mask"], "ids": entry["ids"],
             }
             if lvl < 3:
                 nxt = plan[lvl + 1]

@@ -43,12 +43,24 @@ class CenterPointNet(nn.Module):
     bev_num_filters: Sequence[int] = (128, 256)
     with_velocity: bool = True
     with_iou: bool = True
+    # second stage (PDV RoI head, reference SECOND_STAGE: True configs)
+    second_stage: bool = False
+    roi_budget: int = 128
+    roi_grid_size: int = 6
+    roi_attention: bool = False
+    voxel_size: tuple = (0.1, 0.1, 0.15)
+    pc_range: tuple = (-75.2, -75.2, -2.0, 75.2, 75.2, 4.0)
+    feature_map_stride: int = 8
+    bev_hw: tuple = (188, 188)
     use_running_average: bool = False
     axis_names: Sequence[str] = ("batch",)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, voxel_features, plan):
+        from detzero_tpu.models.detection.pdv_head import PDVHead
+        from detzero_tpu.models.detection.backbone3d import plan_grids
+
         kw = dict(use_running_average=self.use_running_average,
                   axis_names=self.axis_names, dtype=self.dtype)
         out3d = VoxelResBackbone8x(
@@ -64,6 +76,37 @@ class CenterPointNet(nn.Module):
             with_velocity=self.with_velocity, with_iou=self.with_iou,
             name="center_head", **kw,
         )(bev)
+        roi_out = None
+        if self.second_stage:
+            dec = decode_predictions(
+                jax.tree.map(jax.lax.stop_gradient, preds),
+                self.class_ids_each_head, self.bev_hw,
+                self.feature_map_stride, self.voxel_size, self.pc_range,
+                top_k=self.roi_budget, score_thresh=0.0,
+                nms_pre=self.roi_budget * 4, nms_post=self.roi_budget,
+            )
+            grids = plan_grids(self.grid_zyx)
+            levels = []
+            for name, lvl_i, stride in (("x_conv3", 2, 4), ("x_conv4", 3, 8)):
+                ms = out3d["multi_scale_3d_features"][name]
+                levels.append({
+                    "features": jax.lax.stop_gradient(ms["features"]),
+                    "ids": ms["ids"], "mask": ms["mask"],
+                    "stride": stride, "grid_zyx": grids[lvl_i],
+                })
+            rois = dec["boxes"][:, :7]
+            cls, reg, _ = PDVHead(
+                pc_range=self.pc_range, voxel_size=self.voxel_size,
+                grid_size=self.roi_grid_size,
+                with_attention=self.roi_attention,
+                use_running_average=self.use_running_average,
+                axis_names=self.axis_names, dtype=self.dtype, name="roi_head",
+            )(rois, dec["mask"], levels)
+            roi_out = {"rois": rois, "roi_mask": dec["mask"],
+                       "roi_scores": dec["scores"], "roi_labels": dec["labels"],
+                       "cls_logit": cls, "reg_deltas": reg}
+        out3d = dict(out3d)
+        out3d["roi"] = roi_out
         return preds, out3d
 
 
@@ -97,18 +140,25 @@ class CenterPoint:
         self.capacities = tuple(model_cfg.get(
             "VOXEL_CAPACITIES", (max_voxels, max_voxels // 2,
                                  max_voxels // 4, max_voxels // 8)))
+        h = -(-ny // self.feature_map_stride)
+        w = -(-nx // self.feature_map_stride)
+        self.bev_hw = (h, w)
+        self.second_stage = bool(model_cfg.get("SECOND_STAGE", False))
         self.net = CenterPointNet(
             class_ids_each_head=self.class_ids_each_head,
             grid_zyx=self.grid_zyx,
             with_velocity=bool(model_cfg.get("WITH_VELOCITY", True)),
             with_iou=bool(model_cfg.get("WITH_IOU", True)),
+            second_stage=self.second_stage,
+            roi_budget=int(model_cfg.get("ROI_BUDGET", 128)),
+            roi_grid_size=int(model_cfg.get("ROI_GRID_SIZE", 6)),
+            roi_attention=bool(model_cfg.get("ROI_ATTENTION", False)),
+            voxel_size=self.voxel_size, pc_range=self.pc_range,
+            feature_map_stride=self.feature_map_stride, bev_hw=self.bev_hw,
             use_running_average=False,
             dtype=dtype,
         )
         self.eval_net = self.net.copy(use_running_average=True)
-        h = -(-ny // self.feature_map_stride)
-        w = -(-nx // self.feature_map_stride)
-        self.bev_hw = (h, w)
 
     # ---------------- single-sample pieces ----------------
 
@@ -167,7 +217,8 @@ class CenterPoint:
     def loss(self, variables, points, points_valid, gt_boxes, gt_classes,
              gt_valid):
         """Full training loss for a batch. gt_boxes (B, M, 7/9)."""
-        preds, _, updates = self.apply(variables, points, points_valid, train=True)
+        preds, out3d, updates = self.apply(variables, points, points_valid,
+                                           train=True)
         tgt_fn = functools.partial(
             assign_targets,
             class_ids_each_head=self.class_ids_each_head, hw=self.bev_hw,
@@ -183,11 +234,35 @@ class CenterPoint:
             voxel_size=self.voxel_size, pc_range=self.pc_range,
         )
         per_sample_loss, aux = jax.vmap(loss_fn)(preds, targets)
-        return per_sample_loss.mean(), (aux, updates)
+        total = per_sample_loss.mean()
+        if self.second_stage and out3d.get("roi") is not None:
+            from detzero_tpu.models.detection.pdv_head import (
+                assign_roi_targets, pdv_loss,
+            )
+            roi = out3d["roi"]
+
+            def one(roi_s, gb, gv):
+                tgt = assign_roi_targets(roi_s["rois"], roi_s["roi_mask"],
+                                         gb[:, :7], gv)
+                return pdv_loss(roi_s["cls_logit"], roi_s["reg_deltas"], tgt,
+                                roi_s["rois"], roi_s["roi_mask"])
+
+            roi_loss, roi_aux = jax.vmap(one)(roi, gt_boxes, gt_valid)
+            total = total + roi_loss.mean()
+            aux = {**aux, **roi_aux}
+        return total, (aux, updates)
 
     def predict(self, variables, points, points_valid, **decode_kwargs):
-        preds, _, _ = self.apply(variables, points, points_valid, train=False,
-                                 mutable_stats=False)
+        preds, out3d, _ = self.apply(variables, points, points_valid,
+                                     train=False, mutable_stats=False)
+        if self.second_stage and out3d.get("roi") is not None:
+            from detzero_tpu.models.detection.pdv_head import pdv_predict
+            roi = out3d["roi"]
+            boxes, scores = jax.vmap(pdv_predict)(
+                roi["cls_logit"], roi["reg_deltas"], roi["rois"],
+                roi["roi_scores"])
+            return {"boxes": boxes, "scores": scores,
+                    "labels": roi["roi_labels"], "mask": roi["roi_mask"]}
         dec = functools.partial(
             decode_predictions,
             class_ids_each_head=self.class_ids_each_head, hw=self.bev_hw,

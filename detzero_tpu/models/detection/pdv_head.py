@@ -1,0 +1,188 @@
+"""PDV second-stage RoI head (reference pdv_head.py: VoxelAggregationHead /
+PDVHead + proposal_target_layer.py), re-designed for static shapes:
+
+  * proposals = the first stage's top post-NMS boxes (fixed budget R);
+  * each RoI spawns a G^3 grid of points; every grid point gathers neighbor
+    voxel features from the level-3/4 sparse tables via voxel_query through
+    the sorted-id table (the reference's CUDA voxel-hash query), relative-pos
+    encoded, MLP'd and max-pooled;
+  * a density feature log1p(#neighbors) rides along (the reference's density
+    confidence, pdv_head.py:525-545), plus an optional small transformer
+    encoder over the grid tokens with density positional encoding;
+  * heads: class-agnostic IoU-quality logit + ResidualCoder box refinement;
+  * training targets: RoI-vs-GT 3D IoU -> scaled cls target (reference
+    proposal_target_layer), canonical-frame reg residuals on foreground RoIs.
+
+Single-sample module (vmap over batch), same convention as the backbone.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from detzero_tpu.models.layers import MLP
+from detzero_tpu.ops import pointnet2 as pn2
+from detzero_tpu.ops.box_coder import ResidualCoder
+from detzero_tpu.ops.box_ops import rotate_points_along_z
+from detzero_tpu.ops.iou3d import boxes_iou3d
+from detzero_tpu.ops.losses import corner_loss_lidar, weighted_smooth_l1
+
+
+def roi_grid_points(rois, grid_size: int):
+    """(R, 7) -> (R, G^3, 3) global grid-point coords (reference
+    get_dense_grid_points, pdv_head.py:451)."""
+    g = grid_size
+    idx = jnp.stack(jnp.meshgrid(*([jnp.arange(g)] * 3), indexing="ij"),
+                    -1).reshape(-1, 3).astype(jnp.float32)  # (G^3, 3) xyz order
+    local = (idx + 0.5) / g - 0.5  # in [-0.5, 0.5)
+    local = local[None, :, :] * rois[:, None, 3:6]
+    world = rotate_points_along_z(local, rois[:, 6])
+    return world + rois[:, None, :3]
+
+
+class PDVHead(nn.Module):
+    """grid pooling + refinement heads. Inputs are per-sample."""
+
+    pc_range: tuple
+    voxel_size: tuple
+    grid_size: int = 6
+    mlp_channels: Sequence[int] = (32, 32)
+    shared_channels: Sequence[int] = (256, 256)
+    nsample: int = 16
+    code_size: int = 7
+    with_attention: bool = False
+    attn_heads: int = 4
+    use_running_average: bool = False
+    axis_names: Sequence[str] = ("batch",)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rois, roi_mask, levels):
+        """rois (R, 7); levels: list of dicts {features (V, C), ids (V,),
+        mask (V,), stride (static int)}. Returns (cls_logit (R,),
+        reg_deltas (R, code_size), pooled (R, G^3, C'))."""
+        r = rois.shape[0]
+        g3 = self.grid_size ** 3
+        grid = roi_grid_points(rois, self.grid_size)  # (R, G^3, 3)
+        flat = grid.reshape(r * g3, 3)
+        pc_min = jnp.asarray(self.pc_range[:3])
+        vs = jnp.asarray(self.voxel_size)
+
+        pooled_scales = []
+        density = jnp.zeros((r * g3, 1), jnp.float32)
+        for li, lvl in enumerate(levels):
+            stride = lvl["stride"]
+            nz, ny, nx = lvl["grid_zyx"]
+            coords = jnp.floor((flat - pc_min) / (vs * stride)).astype(jnp.int32)
+            coords = jnp.clip(coords[:, ::-1], 0,
+                              jnp.asarray([nz - 1, ny - 1, nx - 1]))  # zyx
+            idx, found = pn2.voxel_query(coords, lvl["ids"], (nz, ny, nx),
+                                         max_range=1, nsample=self.nsample)
+            found = found & lvl["mask"][idx]
+            feats = lvl["features"][idx]  # (RG, S, C)
+            # relative position of neighbor voxel centers to the grid point
+            vids = lvl["ids"][idx]
+            vz = vids // (ny * nx)
+            rem = vids - vz * (ny * nx)
+            vy, vx = rem // nx, rem - (rem // nx) * nx
+            centers = (jnp.stack([vx, vy, vz], -1).astype(jnp.float32) + 0.5) \
+                * (vs * stride) + pc_min
+            rel = centers - flat[:, None, :]
+            h = jnp.concatenate([feats.astype(self.dtype),
+                                 rel.astype(self.dtype)], axis=-1)
+            h = MLP(self.mlp_channels,
+                    use_running_average=self.use_running_average,
+                    axis_names=self.axis_names, dtype=self.dtype,
+                    name=f"pool_mlp{li}")(h, found)
+            h = jnp.where(found[..., None], h, -jnp.inf)
+            h = h.max(axis=1)
+            h = jnp.where(jnp.isfinite(h), h, 0.0)
+            pooled_scales.append(h)
+            density = density + found.sum(axis=1, keepdims=True).astype(jnp.float32)
+
+        pooled = jnp.concatenate(
+            pooled_scales + [jnp.log1p(density).astype(self.dtype)], axis=-1)
+        pooled = pooled.reshape(r, g3, -1)
+
+        if self.with_attention:
+            # self-attention over the grid tokens with density pos-encoding
+            # (reference attention_utils TransformerEncoder, pdv_head.py:504)
+            dpos = nn.Dense(pooled.shape[-1], dtype=self.dtype,
+                            name="density_pos")(
+                jnp.log1p(density).reshape(r, g3, 1).astype(self.dtype))
+            q = pooled + dpos
+            qkv = ((pooled.shape[-1] + self.attn_heads - 1)
+                   // self.attn_heads) * self.attn_heads
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.attn_heads, qkv_features=qkv,
+                dtype=self.dtype, name="grid_attn",
+            )(inputs_q=q, inputs_k=q, inputs_v=pooled)
+            pooled = nn.LayerNorm(dtype=self.dtype)(pooled + attn)
+
+        h = pooled.reshape(r, -1)
+        h = MLP(self.shared_channels,
+                use_running_average=self.use_running_average,
+                axis_names=self.axis_names, dtype=self.dtype,
+                name="shared_fc")(h, roi_mask)
+        cls = nn.Dense(1, dtype=jnp.float32, name="cls")(h)[:, 0]
+        reg = nn.Dense(self.code_size, dtype=jnp.float32, name="reg")(h)
+        return cls, reg, pooled
+
+
+# ----------------------------------------------------------------------
+def assign_roi_targets(rois, roi_mask, gt_boxes, gt_valid,
+                       fg_thresh: float = 0.55, bg_thresh: float = 0.35,
+                       coder: ResidualCoder | None = None):
+    """Vectorized proposal_target_layer: per-RoI max-IoU GT, scaled cls
+    target, canonical reg residuals. Returns dict of static-shape targets."""
+    coder = coder or ResidualCoder()
+    iou = boxes_iou3d(rois[:, :7], gt_boxes[:, :7])
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best = iou.max(axis=1)
+    gt_idx = iou.argmax(axis=1)
+    matched = gt_boxes[gt_idx][:, :7]
+    # cls target: 0 below bg, 1 above fg, linear in between (reference
+    # proposal_target_layer roi_iou->cls scaling)
+    cls_t = jnp.clip((best - bg_thresh) / (fg_thresh - bg_thresh), 0.0, 1.0)
+    fg = (best >= fg_thresh) & roi_mask
+    # canonical-frame residuals: encode GT against the RoI as anchor
+    reg_t = coder.encode(matched, rois[:, :7])
+    return {"cls_target": cls_t, "reg_target": reg_t, "fg_mask": fg,
+            "roi_iou": best, "matched_gt": matched}
+
+
+def pdv_loss(cls_logit, reg_deltas, targets, rois, roi_mask,
+             coder: ResidualCoder | None = None, cls_weight=1.0,
+             reg_weight=1.0, corner_weight=1.0):
+    """BCE(cls vs iou target) + smooth-L1(reg) + corner loss on fg
+    (RoIHeadTemplate get_box_reg_layer_loss / get_box_cls_layer_loss)."""
+    coder = coder or ResidualCoder()
+    m = roi_mask.astype(jnp.float32)
+    bce = (jnp.maximum(cls_logit, 0) - cls_logit * targets["cls_target"]
+           + jnp.log1p(jnp.exp(-jnp.abs(cls_logit))))
+    cls_loss = (bce * m).sum() / jnp.maximum(m.sum(), 1.0)
+    fg = targets["fg_mask"].astype(jnp.float32)
+    l1 = weighted_smooth_l1(reg_deltas, targets["reg_target"]).mean(-1)
+    reg_loss = (l1 * fg).sum() / jnp.maximum(fg.sum(), 1.0)
+    decoded = coder.decode(reg_deltas, rois[:, :7])
+    corner = corner_loss_lidar(decoded, targets["matched_gt"],
+                               mask=targets["fg_mask"])
+    total = cls_weight * cls_loss + reg_weight * reg_loss + corner_weight * corner
+    return total, {"roi_cls": cls_loss, "roi_reg": reg_loss,
+                   "roi_corner": corner}
+
+
+def pdv_predict(cls_logit, reg_deltas, rois, first_stage_scores,
+                coder: ResidualCoder | None = None):
+    """Refined boxes + rectified scores (centerpoint.py:258:
+    score = sqrt(sigmoid(iou_logit) * roi_score))."""
+    coder = coder or ResidualCoder()
+    boxes = coder.decode(reg_deltas, rois[:, :7])
+    scores = jnp.sqrt(jnp.clip(
+        jax.nn.sigmoid(cls_logit) * first_stage_scores, 1e-8, 1.0))
+    return boxes, scores

@@ -1,0 +1,67 @@
+"""Box residual coders (reference utils/box_coder_utils.py).
+
+ResidualCoder: anchor-relative encoding used by the RoI refinement head —
+center offsets normalized by the anchor diagonal, log size ratios, heading
+residual (optionally sin/cos split).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class ResidualCoder:
+    def __init__(self, code_size: int = 7, encode_angle_by_sincos: bool = False):
+        self.code_size = code_size + (1 if encode_angle_by_sincos else 0)
+        self.sincos = encode_angle_by_sincos
+
+    def encode(self, boxes, anchors):
+        """boxes/anchors (..., 7+) -> (..., code_size) residuals."""
+        xa, ya, za = anchors[..., 0], anchors[..., 1], anchors[..., 2]
+        dxa, dya, dza = anchors[..., 3], anchors[..., 4], anchors[..., 5]
+        ra = anchors[..., 6]
+        xg, yg, zg = boxes[..., 0], boxes[..., 1], boxes[..., 2]
+        dxg, dyg, dzg = boxes[..., 3], boxes[..., 4], boxes[..., 5]
+        rg = boxes[..., 6]
+        dxa = jnp.maximum(dxa, 1e-5)
+        dya = jnp.maximum(dya, 1e-5)
+        dza = jnp.maximum(dza, 1e-5)
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xt = (xg - xa) / diag
+        yt = (yg - ya) / diag
+        zt = (zg - za) / dza
+        dxt = jnp.log(jnp.maximum(dxg, 1e-5) / dxa)
+        dyt = jnp.log(jnp.maximum(dyg, 1e-5) / dya)
+        dzt = jnp.log(jnp.maximum(dzg, 1e-5) / dza)
+        if self.sincos:
+            rt = [jnp.sin(rg) * jnp.cos(ra) - jnp.cos(rg) * jnp.sin(ra),
+                  jnp.cos(rg) * jnp.cos(ra) + jnp.sin(rg) * jnp.sin(ra)]
+        else:
+            rt = [rg - ra]
+        rest = [boxes[..., i] - anchors[..., i]
+                for i in range(7, boxes.shape[-1])]
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt, *rt, *rest], axis=-1)
+
+    def decode(self, deltas, anchors):
+        xa, ya, za = anchors[..., 0], anchors[..., 1], anchors[..., 2]
+        dxa, dya, dza = anchors[..., 3], anchors[..., 4], anchors[..., 5]
+        ra = anchors[..., 6]
+        dxa = jnp.maximum(dxa, 1e-5)
+        dya = jnp.maximum(dya, 1e-5)
+        dza = jnp.maximum(dza, 1e-5)
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xg = deltas[..., 0] * diag + xa
+        yg = deltas[..., 1] * diag + ya
+        zg = deltas[..., 2] * dza + za
+        dxg = jnp.exp(jnp.clip(deltas[..., 3], -4, 4)) * dxa
+        dyg = jnp.exp(jnp.clip(deltas[..., 4], -4, 4)) * dya
+        dzg = jnp.exp(jnp.clip(deltas[..., 5], -4, 4)) * dza
+        if self.sincos:
+            rg = jnp.arctan2(deltas[..., 6], deltas[..., 7]) + ra
+            rest_start = 8
+        else:
+            rg = deltas[..., 6] + ra
+            rest_start = 7
+        rest = [deltas[..., i] + anchors[..., 7 + i - rest_start]
+                for i in range(rest_start, deltas.shape[-1])]
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *rest], axis=-1)
