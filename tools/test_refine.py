@@ -1,0 +1,127 @@
+"""Refining eval CLI (reference refining/tools/test.py + eval_utils.py):
+runs the model over the (val/train) records, reports input-vs-output box
+recall @0.7 IoU with static/dynamic breakdown, and --save_to_file dumps
+{seq: {oid: refined}} pickles named <Class>_{geometry|position|confidence}_<split>.pkl."""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    from tools.common import apply_platform, base_parser, load_config, setup_experiment
+    from tools.train_refine import build_refine_dataset, build_refine_model
+
+    parser = base_parser("detzero_tpu refining eval")
+    parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--split", default="val")
+    parser.add_argument("--max_tracks", type=int, default=None)
+    args = parser.parse_args()
+    apply_platform(args)
+    cfg = load_config(args)
+    exp_dir, logger = setup_experiment(args, cfg, "test")
+
+    import jax
+    import numpy as np
+    from detzero_tpu.core.checkpoint import CheckpointManager
+    from detzero_tpu.data import refine_features as rf
+    from detzero_tpu.models.refining import crm_decode, grm_decode, prm_decode
+    from detzero_tpu.models.refining.target_assign import DEFAULT_SIZE_ANCHORS
+    from detzero_tpu.ops import box_np
+
+    dataset = build_refine_dataset(cfg, training=False, logger=logger)
+    if len(dataset) == 0:
+        logger.error("no refining records found")
+        return
+    model = build_refine_model(cfg)
+    name = cfg["MODEL"]["NAME"]
+    cls = cfg.get("CLASS_NAME", "Vehicle")
+    anchors = np.asarray(cfg["MODEL"].get("SIZE_ANCHORS",
+                                          DEFAULT_SIZE_ANCHORS[cls]))
+
+    s0 = dataset[0]
+    if name == "GeometryTransformer":
+        init_args = (s0["query_pts"], s0["query_sizes"], s0["memory_pts"],
+                     s0["memory_mask"])
+    elif name == "PositionTransformer":
+        init_args = (s0["query_pts"], s0["query_boxes"], s0["memory_pts"],
+                     s0["pad_mask"])
+    else:
+        init_args = (s0["query_pts"], s0["pad_mask"])
+    variables = model.init(jax.random.PRNGKey(0), *init_args)
+    mgr = CheckpointManager(args.ckpt or (exp_dir / "ckpt"))
+    state, step = mgr.restore_any()
+    if step is not None:
+        variables = {"params": state["params"],
+                     **({"batch_stats": state["batch_stats"]}
+                        if state.get("batch_stats") else {})}
+        logger.info(f"loaded checkpoint step {step}")
+    apply = jax.jit(model.apply)
+
+    results = defaultdict(dict)
+    in_hits = out_hits = total = 0
+    n = len(dataset) if args.max_tracks is None else min(args.max_tracks,
+                                                         len(dataset))
+    for i in range(n):
+        rec = dataset.records[i]
+        s = dataset[i]
+        seq, oid = rec.get("_key", ("seq0", i))
+        boxes = np.asarray(rec["boxes_global"], np.float32).copy()
+        if name == "GeometryTransformer":
+            pred = apply(variables, s["query_pts"], s["query_sizes"],
+                         s["memory_pts"], s["memory_mask"])
+            size = np.asarray(grm_decode(pred, anchors))
+            refined = boxes.copy()
+            refined[:, 3:6] = size[None, :]
+            results[seq][oid] = {"size": size, "boxes_global": refined}
+        elif name == "PositionTransformer":
+            pred = apply(variables, s["query_pts"], s["query_boxes"],
+                         s["memory_pts"], s["pad_mask"])
+            c_loc, h_loc = prm_decode(pred)
+            t = int(np.asarray(s["pad_mask"]).sum())
+            c, h = rf.revert_prm_to_world(np.asarray(c_loc)[:t],
+                                          np.asarray(h_loc)[:t], s["init_box"])
+            refined = boxes.copy()
+            refined[: len(c), :3] = c[: len(boxes)]
+            refined[: len(h), 6] = h[: len(boxes)]
+            results[seq][oid] = {"centers": c, "headings": h,
+                                 "boxes_global": refined}
+        else:
+            pred = apply(variables, s["query_pts"], s["pad_mask"])
+            conf = np.asarray(crm_decode(pred))
+            t = int(np.asarray(s["pad_mask"]).sum())
+            results[seq][oid] = {"new_score": conf[:t]}
+            refined = boxes
+        # input-vs-output recall vs GT (eval_utils.py:15-69 semantics)
+        if "gt_boxes" in rec and np.asarray(rec.get("matched", [0])).any():
+            m = np.asarray(rec["matched"], bool)
+            gt = np.asarray(rec["gt_boxes"], np.float32)[m]
+            inp = boxes[m]
+            outp = refined[m]
+            for j in range(len(gt)):
+                total += 1
+                if box_np.boxes_iou3d(inp[j][None, :7], gt[j][None])[0, 0] >= 0.7:
+                    in_hits += 1
+                if box_np.boxes_iou3d(outp[j][None, :7], gt[j][None])[0, 0] >= 0.7:
+                    out_hits += 1
+    if total:
+        logger.info(f"box recall@0.7 input {in_hits/total:.4f} -> "
+                    f"output {out_hits/total:.4f} ({total} boxes)")
+    if args.save_to_file:
+        stage = {"GeometryTransformer": "geometry",
+                 "PositionTransformer": "position",
+                 "ConfidencePointNet": "confidence"}[name]
+        out = exp_dir / f"{cls}_{stage}_{args.split}.pkl"
+        with open(out, "wb") as f:
+            pickle.dump(dict(results), f)
+        logger.info(f"saved {sum(len(v) for v in results.values())} tracks "
+                    f"to {out}")
+
+
+if __name__ == "__main__":
+    main()
