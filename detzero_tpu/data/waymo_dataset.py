@@ -65,19 +65,39 @@ class WaymoDetectionDataset(DatasetTemplate):
         p = self.root / "waymo_processed_data" / seq / f"{idx:04d}.npy"
         return np.load(p)
 
+    def _point_path(self, info):
+        seq = info["point_cloud"]["lidar_sequence"]
+        idx = info["point_cloud"]["sample_idx"]
+        return self.root / "waymo_processed_data" / seq / f"{idx:04d}.npy"
+
     def __getitem__(self, index):
         info = self.infos[index]
-        points = self.get_points(info)
-        sweep_idx = get_sweep_idxs(
-            info["point_cloud"]["sample_idx"], self.sweep_count, len(self.infos))
-        sweep_pts, sweep_poses, sweep_dts = [], [], []
-        for si in sweep_idx:
-            s_info = self.infos[index - (info["point_cloud"]["sample_idx"] - si)]
-            sweep_pts.append(self.get_points(s_info))
-            sweep_poses.append(s_info["pose"])
-            sweep_dts.append(0.1 * (si - info["point_cloud"]["sample_idx"]))
-        points = merge_sweeps(points, info["pose"], sweep_pts, sweep_poses,
-                              sweep_dts)
+        cur_idx = info["point_cloud"]["sample_idx"]
+        sweep_idx = get_sweep_idxs(cur_idx, self.sweep_count, len(self.infos))
+        sweep_infos = [self.infos[index - (cur_idx - si)] for si in sweep_idx]
+        sweep_dts = [0.1 * (si - cur_idx) for si in sweep_idx]
+
+        use_native = self.cfg.get("USE_NATIVE_LOADER", True)
+        if use_native:
+            from detzero_tpu import native
+            use_native = native.available()
+        if use_native:
+            from detzero_tpu import native
+            inv_cur = np.linalg.inv(info["pose"])
+            paths = [self._point_path(info)] + [self._point_path(s)
+                                                for s in sweep_infos]
+            rels = [np.eye(4, dtype=np.float32)] + [
+                (inv_cur @ s["pose"]).astype(np.float32) for s in sweep_infos]
+            budget = int(self.cfg.get("NUM_POINT_BUDGET", 200_000))
+            points, n = native.load_merged_sample(
+                paths, rels, [0.0] + sweep_dts, out_stride=6, budget=budget)
+            points = points[:n]
+        else:
+            points = self.get_points(info)
+            sweep_pts = [self.get_points(s) for s in sweep_infos]
+            sweep_poses = [s["pose"] for s in sweep_infos]
+            points = merge_sweeps(points, info["pose"], sweep_pts, sweep_poses,
+                                  sweep_dts)
         data = {
             "points": points,
             "frame_id": info["point_cloud"]["sample_idx"],
