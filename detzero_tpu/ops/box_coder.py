@@ -65,3 +65,54 @@ class ResidualCoder:
         rest = [deltas[..., i] + anchors[..., 7 + i - rest_start]
                 for i in range(rest_start, deltas.shape[-1])]
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *rest], axis=-1)
+
+
+class PreviousResidualDecoder:
+    """Decode-only legacy coder (box_coder_utils.py:80): residuals whose
+    center offsets are normalized by the anchor diagonal like ResidualCoder,
+    kept for loading detections produced by older pipelines."""
+
+    code_size = 7
+
+    @staticmethod
+    def decode(deltas, anchors):
+        return ResidualCoder().decode(deltas, anchors)
+
+
+class PointResidualCoder:
+    """Point-anchored coder (box_coder_utils.py:144): boxes encoded against
+    bare points with class-mean sizes as the size prior."""
+
+    def __init__(self, mean_sizes, use_mean_size: bool = True):
+        self.mean_sizes = jnp.asarray(mean_sizes)  # (num_cls, 3)
+        self.use_mean_size = use_mean_size
+        self.code_size = 8  # xt, yt, zt, dxt, dyt, dzt, sin, cos
+
+    def encode(self, boxes, points, classes=None):
+        if self.use_mean_size and classes is not None:
+            prior = self.mean_sizes[classes]
+        else:
+            prior = jnp.ones((*boxes.shape[:-1], 3), boxes.dtype)
+        diag = jnp.sqrt(prior[..., 0] ** 2 + prior[..., 1] ** 2)
+        xt = (boxes[..., 0] - points[..., 0]) / diag
+        yt = (boxes[..., 1] - points[..., 1]) / diag
+        zt = (boxes[..., 2] - points[..., 2]) / prior[..., 2]
+        dt = jnp.log(jnp.maximum(boxes[..., 3:6], 1e-5) / prior)
+        return jnp.concatenate([
+            xt[..., None], yt[..., None], zt[..., None], dt,
+            jnp.sin(boxes[..., 6:7]), jnp.cos(boxes[..., 6:7])], axis=-1)
+
+    def decode(self, deltas, points, classes=None):
+        if self.use_mean_size and classes is not None:
+            prior = self.mean_sizes[classes]
+        else:
+            prior = jnp.ones((*deltas.shape[:-1], 3), deltas.dtype)
+        diag = jnp.sqrt(prior[..., 0] ** 2 + prior[..., 1] ** 2)
+        x = deltas[..., 0] * diag + points[..., 0]
+        y = deltas[..., 1] * diag + points[..., 1]
+        z = deltas[..., 2] * prior[..., 2] + points[..., 2]
+        dims = jnp.exp(jnp.clip(deltas[..., 3:6], -4, 4)) * prior
+        heading = jnp.arctan2(deltas[..., 6], deltas[..., 7])
+        return jnp.concatenate([
+            x[..., None], y[..., None], z[..., None], dims,
+            heading[..., None]], axis=-1)

@@ -222,7 +222,13 @@ def boxes_giou3d(boxes_a, boxes_b):
 def boxes_iou3d_pairwise(boxes_a, boxes_b):
     """(N,7) x (N,7) -> (N,) matched-pair 3D IoU (used by the center head's
     IoU-prediction branch, center_head.py:163-200 _iou_target)."""
-    ov_bev = jax.vmap(_pair_overlap_bev)(boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
+    if _use_pallas():
+        from detzero_tpu.ops import pallas_iou
+        ov_bev = pallas_iou.boxes_overlap_bev_pairwise(
+            boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
+    else:
+        ov_bev = jax.vmap(_pair_overlap_bev)(
+            boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
     amax = boxes_a[:, 2] + boxes_a[:, 5] / 2
     amin = boxes_a[:, 2] - boxes_a[:, 5] / 2
     bmax = boxes_b[:, 2] + boxes_b[:, 5] / 2

@@ -46,7 +46,7 @@ def _corners(cx, cy, dx, dy, heading):
 
 
 def _overlap_tile(a_ref, b_ref):
-    """Compute the (TN, TM) rotated intersection-area tile."""
+    """Compute the (TN, TM) all-pairs rotated intersection-area tile."""
     ax = a_ref[0, :][:, None]  # (TN, 1)
     ay = a_ref[1, :][:, None]
     adx = a_ref[2, :][:, None]
@@ -58,13 +58,15 @@ def _overlap_tile(a_ref, b_ref):
     bdy = b_ref[3, :][None, :]
     bh = b_ref[4, :][None, :]
 
-    tn = ax.shape[0]
-    tm = bx.shape[1]
-    shape = (tn, tm)
-
+    shape = (ax.shape[0], bx.shape[1])
     ca = _corners(ax, ay, adx, ady, ah)   # 4 x ((TN,1), (TN,1))
     cb = _corners(bx, by, bdx, bdy, bh)   # 4 x ((1,TM), (1,TM))
+    return _clip_area(ca, cb, shape)
 
+
+def _clip_area(ca, cb, shape):
+    """Sutherland–Hodgman area over a tile; ca/cb are 4-corner lists whose
+    entries broadcast to `shape`."""
     # All masks are float32 0/1 — Mosaic rejects some stored-bool select
     # patterns ("unsupported target bitwidth for truncation"), and f32
     # arithmetic masks vectorize cleanly on the VPU anyway.
@@ -142,6 +144,27 @@ def _overlap_kernel(a_ref, b_ref, out_ref):
     out_ref[:, :] = _overlap_tile(a_ref, b_ref)
 
 
+def _overlap_tile_pairwise(a_ref, b_ref):
+    """Matched pairs: lane (i, j) of the (8, 128) tile computes pair
+    i*128+j — a and b share the lane grid, so every op is elementwise."""
+    def col(ref, c):
+        return ref[c, :].reshape(8, 128)
+
+    ca = _corners(col(a_ref, 0), col(a_ref, 1), col(a_ref, 2), col(a_ref, 3),
+                  col(a_ref, 4))
+    cb = _corners(col(b_ref, 0), col(b_ref, 1), col(b_ref, 2), col(b_ref, 3),
+                  col(b_ref, 4))
+    return _clip_area(ca, cb, (8, 128))
+
+
+def _pairwise_iou_kernel(a_ref, b_ref, out_ref):
+    inter = _overlap_tile_pairwise(a_ref, b_ref)
+    area_a = (a_ref[2, :] * a_ref[3, :]).reshape(8, 128)
+    area_b = (b_ref[2, :] * b_ref[3, :]).reshape(8, 128)
+    union = jnp.maximum(area_a + area_b - inter, 1e-6)
+    out_ref[:, :] = inter / union
+
+
 def _iou_kernel(a_ref, b_ref, out_ref):
     inter = _overlap_tile(a_ref, b_ref)
     area_a = (a_ref[2, :] * a_ref[3, :])[:, None]
@@ -179,6 +202,41 @@ def _launch(boxes_a, boxes_b, kernel: str, tn: int, tm: int, interpret: bool):
         interpret=interpret,
     )(a, b)
     return out[:n, :m]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "interpret"))
+def _launch_pairwise(boxes_a, boxes_b, kernel: str, interpret: bool):
+    n = boxes_a.shape[0]
+    tile = 8 * 128
+    np_ = -(-n // tile) * tile
+    a = _pad_to(boxes_a[:, :5].astype(jnp.float32), np_).T  # (5, Np)
+    b = _pad_to(boxes_b[:, :5].astype(jnp.float32), np_).T
+    kfn = (_pairwise_iou_kernel if kernel == "iou"
+           else (lambda ar, br, o: o.__setitem__(
+               (slice(None), slice(None)), _overlap_tile_pairwise(ar, br))))
+    out = pl.pallas_call(
+        kfn,
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_ // 128, 128), jnp.float32),
+        interpret=interpret,
+    )(a, b)
+    return out.reshape(np_)[:n]
+
+
+def boxes_overlap_bev_pairwise(boxes_a, boxes_b):
+    """(N,5) x (N,5) -> (N,) matched-pair intersection areas."""
+    return _launch_pairwise(boxes_a, boxes_b, "overlap", not _on_tpu())
+
+
+def boxes_iou_bev_pairwise(boxes_a, boxes_b):
+    """(N,5) x (N,5) -> (N,) matched-pair rotated BEV IoU."""
+    return _launch_pairwise(boxes_a, boxes_b, "iou", not _on_tpu())
 
 
 def _on_tpu():
