@@ -11,6 +11,24 @@ from __future__ import annotations
 import optax
 
 
+def wd_mask(params):
+    """True for leaves that should receive weight decay: exclude biases and
+    norm scales/offsets (the reference's paramwise custom_keys,
+    optimize_utils/__init__.py add_params:78)."""
+    import jax
+
+    def leaf_mask(path, leaf):
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        parent = "/".join(str(getattr(p, "key", p)) for p in path)
+        if name in ("bias", "scale", "mean", "var"):
+            return False
+        if "BatchNorm" in parent or "LayerNorm" in parent or "bn" in name:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
 def build_schedule(opt_cfg, total_steps: int):
     lr = float(opt_cfg.LR)
     name = opt_cfg.OPTIMIZER
@@ -38,12 +56,13 @@ def build_optimizer(opt_cfg, total_steps: int):
     clip = float(opt_cfg.get("GRAD_NORM_CLIP", 0.0))
 
     if name in ("adam", "adam_onecycle"):
-        core = optax.adamw(schedule, b1=0.9, b2=0.99, weight_decay=wd)
+        core = optax.adamw(schedule, b1=0.9, b2=0.99, weight_decay=wd,
+                           mask=wd_mask)
     elif name in ("adamW", "adamW_onecycle"):
-        core = optax.adamw(schedule, weight_decay=wd)
+        core = optax.adamw(schedule, weight_decay=wd, mask=wd_mask)
     elif name == "sgd":
         core = optax.chain(
-            optax.add_decayed_weights(wd),
+            optax.masked(optax.add_decayed_weights(wd), wd_mask),
             optax.sgd(schedule, momentum=float(opt_cfg.get("MOMENTUM", 0.9))),
         )
     else:

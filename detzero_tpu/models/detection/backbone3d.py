@@ -49,25 +49,36 @@ def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int]):
     for lvl in range(4):
         grid = grids[lvl]
         sub_idx, sub_found = sparse.build_submanifold_index(ids, cds, msk, grid, (3, 3, 3))
+        # transpose map for the scatter-free backward (same table, stride 1)
+        st_idx, st_found = sparse.build_transpose_index(
+            ids, cds, msk, (1, 1, 1), (3, 3, 3), grid)
         entry = {
             "ids": ids, "coords": cds, "mask": msk,
             "subm_idx": sub_idx, "subm_found": sub_found,
+            "subm_idx_t": st_idx, "subm_found_t": st_found,
         }
         if lvl < 3:
             (n_ids, n_coords, n_mask, d_idx, d_found, _) = sparse.build_downsample(
                 ids, cds, msk, grid, (2, 2, 2), (3, 3, 3), capacities[lvl + 1]
             )
+            dt_idx, dt_found = sparse.build_transpose_index(
+                n_ids, cds, msk, (2, 2, 2), (3, 3, 3), grids[lvl + 1])
             entry["down_idx"] = d_idx
             entry["down_found"] = d_found
+            entry["down_idx_t"] = dt_idx
+            entry["down_found_t"] = dt_found
             ids, cds, msk = n_ids, n_coords, n_mask
         levels.append(entry)
     # final z-compression conv: stride (2,1,1), kernel (3,1,1)
     (f_ids, f_coords, f_mask, f_idx, f_found, _) = sparse.build_downsample(
         ids, cds, msk, grids[3], (2, 1, 1), (3, 1, 1), capacities[3]
     )
+    ft_idx, ft_found = sparse.build_transpose_index(
+        f_ids, cds, msk, (2, 1, 1), (3, 1, 1), grids[4])
     levels.append({
         "ids": f_ids, "coords": f_coords, "mask": f_mask,
         "down_idx": f_idx, "down_found": f_found,
+        "down_idx_t": ft_idx, "down_found_t": ft_found,
     })
     return levels
 
@@ -83,16 +94,20 @@ class SparseConvBNReLU(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, idx, found, out_mask):
+    def __call__(self, feats, idx, found, out_mask, idx_t=None, found_t=None):
         cin = feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (self.kernel_volume, cin, self.features), jnp.float32,
         )
-        x = sparse.sparse_conv_apply(
-            feats.astype(self.dtype), idx, found, w.astype(self.dtype)
-        )
+        if idx_t is not None:
+            x = sparse.sparse_conv_apply_vjp(
+                feats.astype(self.dtype), w.astype(self.dtype), idx, found,
+                idx_t, found_t)
+        else:
+            x = sparse.sparse_conv_apply(
+                feats.astype(self.dtype), idx, found, w.astype(self.dtype))
         x = MaskedBatchNorm(
             use_running_average=self.use_running_average,
             axis_names=self.axis_names, dtype=self.dtype,
@@ -112,16 +127,16 @@ class SparseBasicBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, idx, found, mask):
+    def __call__(self, feats, idx, found, mask, idx_t=None, found_t=None):
         identity = feats
         x = SparseConvBNReLU(
             self.features, idx.shape[1], self.use_running_average,
             act=True, axis_names=self.axis_names, dtype=self.dtype,
-        )(feats, idx, found, mask)
+        )(feats, idx, found, mask, idx_t, found_t)
         x = SparseConvBNReLU(
             self.features, idx.shape[1], self.use_running_average,
             act=False, axis_names=self.axis_names, dtype=self.dtype,
-        )(x, idx, found, mask)
+        )(x, idx, found, mask, idx_t, found_t)
         return nn.relu(x + identity)
 
 
@@ -150,14 +165,16 @@ class VoxelResBackbone8x(nn.Module):
         lvl0 = plan[0]
         # input stem: one submanifold conv to channels[0]
         x = SparseConvBNReLU(self.channels[0], lvl0["subm_idx"].shape[1], **kw)(
-            x, lvl0["subm_idx"], lvl0["subm_found"], lvl0["mask"]
+            x, lvl0["subm_idx"], lvl0["subm_found"], lvl0["mask"],
+            lvl0.get("subm_idx_t"), lvl0.get("subm_found_t"),
         )
         multi_scale = {}
         for lvl in range(4):
             entry = plan[lvl]
             for b in range(self.blocks_per_level):
                 x = SparseBasicBlock(self.channels[lvl], **kw)(
-                    x, entry["subm_idx"], entry["subm_found"], entry["mask"]
+                    x, entry["subm_idx"], entry["subm_found"], entry["mask"],
+                    entry.get("subm_idx_t"), entry.get("subm_found_t"),
                 )
             multi_scale[f"x_conv{lvl + 1}"] = {
                 "features": x, "coords": entry["coords"],
@@ -166,13 +183,15 @@ class VoxelResBackbone8x(nn.Module):
             if lvl < 3:
                 nxt = plan[lvl + 1]
                 x = SparseConvBNReLU(self.channels[lvl + 1], entry["down_idx"].shape[1], **kw)(
-                    x, entry["down_idx"], entry["down_found"], nxt["mask"]
+                    x, entry["down_idx"], entry["down_found"], nxt["mask"],
+                    entry.get("down_idx_t"), entry.get("down_found_t"),
                 )
         # final z-stride conv to the BEV table (gather maps live on the final
         # level entry itself — they read from level-4's table)
         final = plan[4]
         x = SparseConvBNReLU(self.channels[3], final["down_idx"].shape[1], **kw)(
-            x, final["down_idx"], final["down_found"], final["mask"]
+            x, final["down_idx"], final["down_found"], final["mask"],
+            final.get("down_idx_t"), final.get("down_found_t"),
         )
         bev = scatter_to_dense_bev(x, final["coords"], final["mask"], grids[4])
         return {

@@ -118,7 +118,11 @@ def sparse_conv_apply(features, idx, found, weight, preferred_dtype=jnp.float32)
     """The conv compute: gather neighbors, one MXU matmul.
 
     features: (V_in, Cin); idx/found: (V_out, K); weight: (K, Cin, Cout).
-    Returns (V_out, Cout) float32 accumulations.
+    Returns (V_out, Cout) accumulations.
+
+    NOTE: autodiff of the gather produces a scatter-add over (V_out*K)
+    duplicate indices — pathologically slow on TPU. Training paths should use
+    sparse_conv_apply_vjp with a transpose index map instead.
     """
     v_out, k = idx.shape
     cin = features.shape[1]
@@ -127,3 +131,60 @@ def sparse_conv_apply(features, idx, found, weight, preferred_dtype=jnp.float32)
     flat = gathered.reshape(v_out, k * cin)
     w = weight.reshape(k * cin, -1)
     return jnp.dot(flat, w, preferred_element_type=preferred_dtype)
+
+
+def build_transpose_index(out_ids, in_coords, in_mask, stride_zyx, kernel_size,
+                          out_grid_zyx):
+    """Inverse rulebook: for each INPUT voxel u and kernel offset k, the
+    OUTPUT row v with  v*stride + off[k] == u  (i.e. the output that gathered
+    u through slot k). The gradient of a sparse conv w.r.t. its input is then
+    itself a gather-matmul through this map — no scatter ever materializes.
+
+    Returns idx_t (V_in, K), found_t (V_in, K) rows into the out table.
+    """
+    onz, ony, onx = out_grid_zyx
+    st = jnp.asarray(stride_zyx, jnp.int32)
+    offs = jnp.asarray(kernel_offsets_zyx(kernel_size))  # (K, 3)
+    cand = in_coords[:, None, :] - offs[None, :, :]      # (V_in, K, 3)
+    divisible = (cand % st[None, None, :] == 0).all(-1)
+    oc = cand // st[None, None, :]
+    inb = (
+        (oc[..., 0] >= 0) & (oc[..., 0] < onz)
+        & (oc[..., 1] >= 0) & (oc[..., 1] < ony)
+        & (oc[..., 2] >= 0) & (oc[..., 2] < onx)
+    ) & divisible & in_mask[:, None]
+    oid = (oc[..., 0] * ony + oc[..., 1]) * onx + oc[..., 2]
+    oid = jnp.where(inb, oid, INVALID_ID)
+    idx_t, found_t = _lookup(out_ids, oid)
+    return idx_t, found_t & inb
+
+
+@jax.custom_vjp
+def sparse_conv_apply_vjp(features, weight, idx, found, idx_t, found_t):
+    """sparse_conv_apply with a scatter-free backward:
+        d features = gather-matmul(g, idx_t, found_t, W^T per slot)
+        d weight[k] = gathered_k^T @ g   (a dense MXU contraction)
+    """
+    return sparse_conv_apply(features, idx, found, weight)
+
+
+def _scv_fwd(features, weight, idx, found, idx_t, found_t):
+    out = sparse_conv_apply(features, idx, found, weight)
+    return out, (features, weight, idx, found, idx_t, found_t)
+
+
+def _scv_bwd(res, g):
+    features, weight, idx, found, idx_t, found_t = res
+    k, cin, cout = weight.shape
+    g = g.astype(features.dtype)
+    # dW: contraction over output rows, per slot — one batched matmul
+    gathered = jnp.where(found[..., None], features[idx], 0.0)  # (Vo, K, Cin)
+    dw = jnp.einsum("vkc,vd->kcd", gathered, g,
+                    preferred_element_type=jnp.float32).astype(weight.dtype)
+    # dX: sparse conv of g through the transpose map with W^T slots
+    w_t = jnp.transpose(weight, (0, 2, 1))  # (K, Cout, Cin)
+    dx = sparse_conv_apply(g, idx_t, found_t, w_t).astype(features.dtype)
+    return dx, dw, None, None, None, None
+
+
+sparse_conv_apply_vjp.defvjp(_scv_fwd, _scv_bwd)

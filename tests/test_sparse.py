@@ -100,3 +100,65 @@ def test_downsample_conv_pools_features():
     out_mask = np.asarray(out_mask)
     assert out_mask.sum() >= 1
     assert out[np.where(out_mask)[0][0], 0] == 11.0
+
+
+def test_custom_vjp_matches_autodiff():
+    """sparse_conv_apply_vjp (transpose-map backward) must produce the same
+    gradients as plain autodiff of sparse_conv_apply."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-0.9, 0.9, (150, 3)).astype(np.float32)
+    pts[:, 2] *= 0.4
+    t = _table(pts, max_voxels=128)
+    feats = rng.randn(128, 8).astype(np.float32)
+    w = rng.randn(27, 8, 16).astype(np.float32) * 0.1
+    g_out = rng.randn(64, 16).astype(np.float32)
+
+    # strided downsample conv (the hard case: in/out tables differ)
+    out_ids, out_coords, out_mask, idx, found, out_grid = sparse.build_downsample(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], GRID,
+        (2, 2, 2), (3, 3, 3), out_capacity=64,
+    )
+    idx_t, found_t = sparse.build_transpose_index(
+        out_ids, t["voxel_coords"], t["voxel_mask"], (2, 2, 2), (3, 3, 3),
+        out_grid,
+    )
+
+    def f_ref(feats, w):
+        return (sparse.sparse_conv_apply(feats, idx, found, w) * g_out).sum()
+
+    def f_vjp(feats, w):
+        return (sparse.sparse_conv_apply_vjp(feats, w, idx, found, idx_t,
+                                             found_t) * g_out).sum()
+
+    gx_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(feats, w)
+    gx_new, gw_new = jax.grad(f_vjp, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_new), np.asarray(gw_ref),
+                               atol=1e-3, rtol=1e-3)
+
+    # submanifold case (stride 1, same table)
+    sidx, sfound = sparse.build_submanifold_index(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], GRID, (3, 3, 3))
+    sidx_t, sfound_t = sparse.build_transpose_index(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], (1, 1, 1),
+        (3, 3, 3), GRID)
+    w2 = rng.randn(27, 8, 8).astype(np.float32) * 0.1
+    g2 = rng.randn(128, 8).astype(np.float32)
+
+    def f2_ref(feats, w):
+        return (sparse.sparse_conv_apply(feats, sidx, sfound, w) * g2).sum()
+
+    def f2_vjp(feats, w):
+        return (sparse.sparse_conv_apply_vjp(feats, w, sidx, sfound, sidx_t,
+                                             sfound_t) * g2).sum()
+
+    gx_ref, gw_ref = jax.grad(f2_ref, argnums=(0, 1))(feats, w2)
+    gx_new, gw_new = jax.grad(f2_vjp, argnums=(0, 1))(feats, w2)
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_new), np.asarray(gw_ref),
+                               atol=1e-3, rtol=1e-3)
