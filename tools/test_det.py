@@ -19,6 +19,10 @@ def main():
     parser = base_parser("detzero_tpu detection eval")
     parser.add_argument("--save_to_file", action="store_true")
     parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--eval_all", action="store_true",
+                        help="poll the ckpt dir and evaluate every new "
+                             "checkpoint (reference repeat_eval_ckpt)")
+    parser.add_argument("--max_waiting_mins", type=float, default=30.0)
     args = parser.parse_args()
     apply_platform(args)
     cfg = load_config(args)
@@ -43,13 +47,6 @@ def main():
                            first["points_valid"])
     ckpt_dir = args.ckpt or (exp_dir / "ckpt")
     mgr = CheckpointManager(ckpt_dir)
-    state, step = mgr.restore_any()
-    if step is not None:
-        variables = {"params": state["params"],
-                     "batch_stats": state["batch_stats"]}
-        logger.info(f"loaded checkpoint step {step}")
-    else:
-        logger.warning("no checkpoint found — evaluating a random init")
 
     pp = cfg.get("MODEL", {}).get("POST_PROCESSING", {})
     predict = jax.jit(lambda v, p, m: model.predict(
@@ -59,35 +56,68 @@ def main():
         nms_pre=int(pp.get("NMS_PRE_MAXSIZE", 1024)),
         nms_post=int(pp.get("NMS_POST_MAXSIZE", 256))))
 
-    det_annos = []
-    for bi, batch in enumerate(loader(0)):
-        if args.max_batches is not None and bi >= args.max_batches:
-            break
-        preds = predict(variables, batch["points"], batch["points_valid"])
-        dicts = dataset.generate_prediction_dicts(batch, preds)
-        if cfg.get("TTA", False):
-            names, boxes, scores = [], [], []
-            for d, name in zip(dicts, batch["tta_name"]):
-                boxes.append(tta_mod.invert_boxes(d["boxes_lidar"], name))
-                names.append(d["name"])
-                scores.append(d["score"])
-            n, b, s = wbf.wbf_online(
-                np.concatenate(names), np.concatenate(boxes),
-                np.concatenate(scores),
-                class_names=tuple(cfg.get("CLASS_NAMES")))
-            dicts = [{"name": n, "score": s, "boxes_lidar": b,
-                      "frame_id": dicts[0]["frame_id"],
-                      "sequence_name": dicts[0]["sequence_name"],
-                      "pose": dicts[0]["pose"]}]
-        det_annos.extend(dicts)
+    def eval_one(variables, tag=""):
+        det_annos = []
+        for bi, batch in enumerate(loader(0)):
+            if args.max_batches is not None and bi >= args.max_batches:
+                break
+            preds = predict(variables, batch["points"], batch["points_valid"])
+            dicts = dataset.generate_prediction_dicts(batch, preds)
+            if cfg.get("TTA", False):
+                names, boxes, scores = [], [], []
+                for d, name in zip(dicts, batch["tta_name"]):
+                    boxes.append(tta_mod.invert_boxes(d["boxes_lidar"], name))
+                    names.append(d["name"])
+                    scores.append(d["score"])
+                n, b, s = wbf.wbf_online(
+                    np.concatenate(names), np.concatenate(boxes),
+                    np.concatenate(scores),
+                    class_names=tuple(cfg.get("CLASS_NAMES")))
+                dicts = [{"name": n, "score": s, "boxes_lidar": b,
+                          "frame_id": dicts[0]["frame_id"],
+                          "sequence_name": dicts[0]["sequence_name"],
+                          "pose": dicts[0]["pose"]}]
+            det_annos.extend(dicts)
+        if args.save_to_file:
+            out = exp_dir / f"result{tag}.pkl"
+            with open(out, "wb") as f:
+                pickle.dump(det_annos, f)
+            logger.info(f"saved {len(det_annos)} frames to {out}")
+        table, res = dataset.evaluation(det_annos, cfg.get("CLASS_NAMES", []))
+        logger.info("\n" + str(table))
+        return res
 
-    if args.save_to_file:
-        out = exp_dir / "result.pkl"
-        with open(out, "wb") as f:
-            pickle.dump(det_annos, f)
-        logger.info(f"saved {len(det_annos)} frames to {out}")
-    table, res = dataset.evaluation(det_annos, cfg.get("CLASS_NAMES", []))
-    logger.info("\n" + str(table))
+    if args.eval_all:
+        # checkpoint watcher (reference repeat_eval_ckpt, test.py:88-134):
+        # poll for new checkpoints, evaluate each once, record in a list file
+        import time
+        done_file = exp_dir / "eval_list.txt"
+        done = set(done_file.read_text().split()) if done_file.exists() else set()
+        waited = 0.0
+        while waited < args.max_waiting_mins * 60:
+            step = mgr.latest_step()
+            if step is None or str(step) in done:
+                time.sleep(30)
+                waited += 30
+                continue
+            state, step = mgr.restore_any(step)
+            logger.info(f"evaluating checkpoint step {step}")
+            eval_one({"params": state["params"],
+                      "batch_stats": state["batch_stats"]}, tag=f"_{step}")
+            done.add(str(step))
+            done_file.write_text("\n".join(sorted(done)))
+            waited = 0.0
+        logger.info("eval watcher timed out")
+        return
+
+    state, step = mgr.restore_any()
+    if step is not None:
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        logger.info(f"loaded checkpoint step {step}")
+    else:
+        logger.warning("no checkpoint found — evaluating a random init")
+    eval_one(variables)
 
 
 if __name__ == "__main__":
