@@ -27,6 +27,16 @@ class PointFeatureEncoder:
         return np.ascontiguousarray(points[:, cols])
 
 
+class PolarPointFeatureEncoder(PointFeatureEncoder):
+    """Polar encoding variant (point_feature_encoder.py:36): xyz replaced by
+    (rho, phi, z); remaining channels selected as usual."""
+
+    def __call__(self, points):
+        out = super().__call__(points)
+        out[:, :3] = cart2cylinder(points)
+        return out
+
+
 def cart2cylinder(points):
     """xyz -> (rho, phi, z) (common_utils.py:189)."""
     rho = np.linalg.norm(points[:, :2], axis=1)

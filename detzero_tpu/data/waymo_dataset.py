@@ -144,7 +144,8 @@ class SyntheticWaymoDataset(DatasetTemplate):
     def __len__(self):
         return self.length
 
-    def __getitem__(self, index):
+    def generate_scene(self, index):
+        """Deterministic scene for `index`: (points, gt_boxes, gt_names)."""
         rng = np.random.RandomState(self.seed + index)
         lo = self.pc_range[:3]
         hi = self.pc_range[3:]
@@ -174,10 +175,16 @@ class SyntheticWaymoDataset(DatasetTemplate):
         bg[:, 2] = np.abs(rng.randn(len(bg))) * 0.2 - 0.5  # ground-ish
         xyz = np.concatenate(obj_pts + [bg]).astype(np.float32)
         extra = rng.rand(len(xyz), 3).astype(np.float32)  # intensity/elong/t
+        points = np.concatenate([xyz, extra], axis=1)
+        return points, np.stack(boxes).astype(np.float32), \
+            np.asarray(names, object)
+
+    def __getitem__(self, index):
+        points, gt_boxes, gt_names = self.generate_scene(index)
         data = {
-            "points": np.concatenate([xyz, extra], axis=1),
-            "gt_boxes": np.stack(boxes).astype(np.float32),
-            "gt_names": np.asarray(names, object),
+            "points": points,
+            "gt_boxes": gt_boxes,
+            "gt_names": gt_names,
             "frame_id": index,
             "sequence_name": f"synthetic_{index // 16:03d}",
             "pose": np.eye(4, dtype=np.float32),
@@ -185,16 +192,18 @@ class SyntheticWaymoDataset(DatasetTemplate):
         return self.prepare_data(data)
 
     def evaluation(self, det_annos, class_names, **kwargs):
+        """Real metrics against the deterministically regenerated GT."""
         from detzero_tpu.pipeline.evaluator import (
             evaluate_detection, format_results_table,
         )
         gts = []
-        for i in range(len(det_annos)):
-            rng = np.random.RandomState(self.seed + i)
-            # regenerate GT deterministically (same seed path as __getitem__)
-            item = self[i]
-            gts.append({"gt_boxes": np.zeros((0, 7)), "name": np.zeros(0)})
-        return "synthetic eval: use detzero_eval with saved GT", {}
+        for d in det_annos:
+            idx = int(d.get("frame_id", 0) or 0)
+            _, gt_boxes, gt_names = self.generate_scene(idx)
+            gts.append({"gt_boxes": gt_boxes, "name": gt_names,
+                        "num_points": np.full(len(gt_boxes), 120)})
+        res = evaluate_detection(det_annos, gts, class_names=tuple(class_names))
+        return format_results_table(res), res
 
 
 def build_dataloader(dataset, batch_size: int, shuffle: bool, num_workers: int = 0,

@@ -1,0 +1,1 @@
+from detzero_tpu.models.detection.centerpoint import CenterPoint, CenterPointNet

@@ -1,0 +1,1 @@
+from detzero_tpu.parallel.trainer import Trainer, eval_gather
