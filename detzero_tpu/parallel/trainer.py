@@ -31,7 +31,8 @@ class Trainer:
     """
 
     def __init__(self, loss_fn, optimizer, ckpt_dir=None, logger=None,
-                 mesh=None, max_ckpt=5, log_every=50, tb_dir=None):
+                 mesh=None, max_ckpt=5, log_every=50, tb_dir=None,
+                 steps_per_call: int = 1):
         self.loss_fn = loss_fn
         self.tx = optimizer
         self.logger = logger
@@ -41,6 +42,10 @@ class Trainer:
         self.ckpt = CheckpointManager(ckpt_dir, max_ckpt) if ckpt_dir else None
         self.log_every = log_every
         self.metrics_path = (Path(ckpt_dir) / "metrics.jsonl") if ckpt_dir else None
+        # >1: lax.scan that many optimizer steps inside ONE jit call — fewer
+        # dispatches (essential when the device sits behind a high-latency
+        # tunnel, and generally good TPU practice)
+        self.steps_per_call = int(steps_per_call)
         self.tb = None
         if tb_dir:
             try:
@@ -97,7 +102,20 @@ class Trainer:
             gnorm = optax.global_norm(grads)
             return new_state, loss, aux, gnorm
 
-        self._step_fn = jax.jit(train_step, donate_argnums=(0,))
+        if self.steps_per_call == 1:
+            self._step_fn = jax.jit(train_step, donate_argnums=(0,))
+        else:
+            def multi_step(state, batches):
+                def body(st, batch):
+                    st2, loss, aux, gnorm = train_step(st, batch)
+                    return st2, (loss, aux, gnorm)
+
+                state, (losses, auxes, gnorms) = jax.lax.scan(
+                    body, state, batches)
+                return state, losses.mean(), jax.tree.map(
+                    lambda x: x.mean(), auxes), gnorms.mean()
+
+            self._step_fn = jax.jit(multi_step, donate_argnums=(0,))
 
     def _shard_batch(self, batch):
         """Shard rank>=1 array leaves over the data axis; drop non-array
@@ -108,23 +126,35 @@ class Trainer:
                 out[k] = jax.device_put(v, self.data_sharding)
         return out
 
-    def step(self, batch):
+    def step(self, batch, pre_sharded: bool = False):
         if self._step_fn is None:
             self._build_step()
-        self.state, loss, aux, gnorm = self._step_fn(
-            self.state, self._shard_batch(batch))
+        if not pre_sharded:
+            batch = self._shard_batch(batch)
+        self.state, loss, aux, gnorm = self._step_fn(self.state, batch)
         return loss, aux, gnorm
 
     # ------------------------------------------------------------------
+    def _stacked(self, batch_iter):
+        """Group steps_per_call batches into one stacked pytree."""
+        buf = []
+        for b in batch_iter:
+            buf.append(self._shard_batch(b))
+            if len(buf) == self.steps_per_call:
+                yield jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
+                buf = []
+
     def fit(self, batch_iter, total_steps: int, save_every: int = 1000,
             hooks=()):
         t0 = time.time()
         window = []
+        if self.steps_per_call > 1:
+            batch_iter = self._stacked(batch_iter)
         for batch in batch_iter:
-            loss, aux, gnorm = self.step(batch)
+            loss, aux, gnorm = self.step(batch, pre_sharded=self.steps_per_call > 1)
             step = int(self.state["step"])
             window.append(float(loss))
-            if step % self.log_every == 0:
+            if step % self.log_every < self.steps_per_call:
                 dt = (time.time() - t0) / max(len(window), 1)
                 msg = (f"step {step}/{total_steps} loss {np.mean(window):.4f} "
                        f"gnorm {float(gnorm):.2f} {dt*1000:.0f} ms/it")
@@ -136,7 +166,7 @@ class Trainer:
                                          **{k: float(np.mean(v))
                                             for k, v in aux.items()}})
                 window, t0 = [], time.time()
-            if self.ckpt and step % save_every == 0:
+            if self.ckpt and step % save_every < self.steps_per_call:
                 self.ckpt.save(step, jax.device_get(self.state))
             for h in hooks:
                 h(self, step)

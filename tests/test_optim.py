@@ -29,3 +29,34 @@ def test_optimizer_decays_only_kernels():
     # check the schedule exists and update structure matches
     assert upd["dense"]["kernel"].shape == (2, 2)
     assert float(sched(0)) >= 0
+
+
+def test_trainer_multi_step_scan():
+    """steps_per_call>1 must advance the step counter and reduce loss the
+    same way as single-stepping."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from detzero_tpu.parallel.trainer import Trainer
+
+    w_true = jnp.asarray([2.0, -1.0])
+
+    def loss_fn(variables, batch):
+        w = variables["params"]["w"]
+        pred = batch["x"] @ w
+        return jnp.mean((pred - batch["y"]) ** 2), ({}, {})
+
+    rng = np.random.RandomState(0)
+    def batches(n):
+        for _ in range(n):
+            x = rng.randn(16, 2).astype(np.float32)
+            yield {"x": x, "y": x @ np.asarray(w_true)}
+
+    for spc in (1, 4):
+        tr = Trainer(loss_fn, optax.sgd(0.1), steps_per_call=spc, log_every=100)
+        tr.init_state({"params": {"w": jnp.zeros(2)}})
+        tr.fit(batches(16), total_steps=16)
+        assert int(tr.state["step"]) == 16
+        np.testing.assert_allclose(np.asarray(tr.state["params"]["w"]),
+                                   np.asarray(w_true), atol=0.2)

@@ -21,6 +21,9 @@ def main():
     parser = base_parser("detzero_tpu detection training")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="hard step cap (smoke runs)")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="optimizer steps fused into one jit call "
+                             "(lax.scan; amortizes dispatch latency)")
     args = parser.parse_args()
     apply_platform(args)
     cfg = load_config(args)
@@ -52,7 +55,8 @@ def main():
 
     tx, _ = build_optimizer(opt_cfg, total_steps)
     trainer = Trainer(loss_fn, tx, ckpt_dir=exp_dir / "ckpt", logger=logger,
-                      tb_dir=exp_dir / "tb")
+                      tb_dir=exp_dir / "tb",
+                      steps_per_call=args.steps_per_call)
 
     first = next(loader(0))
     variables = model.init(jax.random.PRNGKey(0), first["points"],
