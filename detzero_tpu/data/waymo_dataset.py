@@ -144,25 +144,37 @@ class SyntheticWaymoDataset(DatasetTemplate):
     def __len__(self):
         return self.length
 
+    FRAMES_PER_SEQ = 16
+
     def generate_scene(self, index):
-        """Deterministic scene for `index`: (points, gt_boxes, gt_names)."""
-        rng = np.random.RandomState(self.seed + index)
+        """Deterministic scene for `index`: (points, gt_boxes, gt_names).
+
+        Scenes are SEQUENTIAL: frames within a 16-frame sequence share the
+        same objects (seeded by the sequence id) moving at constant velocity,
+        so tracking/refining stages have real temporal structure."""
+        seq = index // self.FRAMES_PER_SEQ
+        fidx = index % self.FRAMES_PER_SEQ
+        rng = np.random.RandomState(self.seed + seq * 7919)
         lo = self.pc_range[:3]
         hi = self.pc_range[3:]
         sizes = {"Vehicle": [4.6, 2.0, 1.6], "Pedestrian": [0.9, 0.85, 1.7],
                  "Cyclist": [1.8, 0.85, 1.7]}
         names, boxes, obj_pts = [], [], []
-        span = np.minimum(np.abs(lo[:2]), 40)
+        span = np.minimum(np.abs(lo[:2]), 40) * 0.7
         for _ in range(self.n_objects):
             cls = self.class_names[rng.randint(len(self.class_names))]
             base = np.asarray(sizes.get(cls, [2, 2, 2]))
+            vel = rng.uniform(-1.0, 1.0, 2) * (2.0 if cls == "Vehicle" else 0.3)
             b = np.concatenate([
-                rng.uniform(-span, span, 2), [0.0],
+                rng.uniform(-span, span, 2) + vel * fidx * 0.5, [0.0],
                 base * rng.uniform(0.85, 1.15, 3),
                 [rng.uniform(-np.pi, np.pi)],
             ])
             boxes.append(b)
             names.append(cls)
+        # per-frame jitter rng (points differ each frame)
+        rng = np.random.RandomState(self.seed + index)
+        for b in boxes:
             local = rng.uniform(-0.5, 0.5, (120, 3)) * (b[3:6] * 0.95)
             c, s = np.cos(b[6]), np.sin(b[6])
             world = local.copy()
@@ -186,7 +198,7 @@ class SyntheticWaymoDataset(DatasetTemplate):
             "gt_boxes": gt_boxes,
             "gt_names": gt_names,
             "frame_id": index,
-            "sequence_name": f"synthetic_{index // 16:03d}",
+            "sequence_name": f"synthetic_{index // self.FRAMES_PER_SEQ:03d}",
             "pose": np.eye(4, dtype=np.float32),
         }
         return self.prepare_data(data)

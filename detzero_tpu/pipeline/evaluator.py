@@ -98,7 +98,11 @@ def evaluate_detection(preds, gts, class_names=("Vehicle", "Pedestrian",
                 if gm.any() else np.zeros((0, 7))
             npts = np.asarray(gt.get("num_points", np.full(gm.sum(), 100)))[
                 : len(gb)] if gm.any() else np.zeros(0)
+            if len(npts) < len(gb):  # missing/short metadata: assume easy
+                npts = np.concatenate([npts, np.full(len(gb) - len(npts), 100)])
             diff = np.asarray(gt.get("difficulty", np.ones(len(gb))))
+            if len(diff) < len(gb):
+                diff = np.concatenate([diff, np.ones(len(gb) - len(diff))])
             hard = (npts <= 5) | (diff >= 2)
 
             pi, gi, iou = _match_frame(pb, ps, gb, iou_thresholds[cls])

@@ -63,13 +63,13 @@ def main():
         gts = []
         for seq, fi in keys:
             g = gts_raw[seq][fi] if isinstance(gts_raw, dict) else gts_raw[fi]
+            names = np.asarray(g.get("name", g.get("names", [])))
             gts.append({
                 "gt_boxes": np.asarray(g.get("gt_boxes", g.get("boxes",
                                                                np.zeros((0, 7))))),
-                "name": np.asarray(g.get("name", g.get("names", []))),
+                "name": names,
                 "num_points": np.asarray(g.get("num_points",
-                                               np.full(len(g.get("name", [])),
-                                                       100))),
+                                               np.full(len(names), 100))),
             })
     else:  # flat list of frame dicts, pair by (sequence_name, frame_id)
         gt_by_key = {}
