@@ -152,6 +152,7 @@ class VoxelResBackbone8x(nn.Module):
     grid_zyx: tuple = (40, 1504, 1504)
     channels: Sequence[int] = (16, 32, 64, 128)
     blocks_per_level: int = 2
+    residual: bool = True  # False = plain subm stacks (reference VoxelBackBone8x)
     use_running_average: bool = False
     axis_names: Sequence[str] = ()
     dtype: Any = jnp.float32
@@ -172,7 +173,11 @@ class VoxelResBackbone8x(nn.Module):
         for lvl in range(4):
             entry = plan[lvl]
             for b in range(self.blocks_per_level):
-                x = SparseBasicBlock(self.channels[lvl], **kw)(
+                block = (SparseBasicBlock(self.channels[lvl], **kw)
+                         if self.residual else
+                         SparseConvBNReLU(self.channels[lvl],
+                                          entry["subm_idx"].shape[1], **kw))
+                x = block(
                     x, entry["subm_idx"], entry["subm_found"], entry["mask"],
                     entry.get("subm_idx_t"), entry.get("subm_found_t"),
                 )

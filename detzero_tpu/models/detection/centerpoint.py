@@ -39,6 +39,7 @@ class CenterPointNet(nn.Module):
     class_ids_each_head: Sequence[Sequence[int]]
     grid_zyx: tuple = (40, 1504, 1504)
     backbone_channels: Sequence[int] = (16, 32, 64, 128)
+    backbone_residual: bool = True
     bev_layer_nums: Sequence[int] = (5, 5)
     bev_num_filters: Sequence[int] = (128, 256)
     with_velocity: bool = True
@@ -65,7 +66,7 @@ class CenterPointNet(nn.Module):
                   axis_names=self.axis_names, dtype=self.dtype)
         out3d = VoxelResBackbone8x(
             grid_zyx=self.grid_zyx, channels=self.backbone_channels,
-            name="backbone3d", **kw,
+            residual=self.backbone_residual, name="backbone3d", **kw,
         )(voxel_features, plan)
         bev = BaseBEVBackbone(
             layer_nums=self.bev_layer_nums, num_filters=self.bev_num_filters,
@@ -95,13 +96,23 @@ class CenterPointNet(nn.Module):
                     "stride": stride, "grid_zyx": grids[lvl_i],
                 })
             rois = dec["boxes"][:, :7]
+            # BEV keypoint features: sample the 2D map at center + 4 side
+            # midpoints per RoI (reference center_head.py:457-484)
+            from detzero_tpu.ops.box_ops import (
+                bilinear_sample_bev, box_keypoints_bev,
+            )
+            kps = box_keypoints_bev(rois)  # (R, 5, 2)
+            kp_feats = bilinear_sample_bev(
+                jax.lax.stop_gradient(bev), kps.reshape(-1, 2),
+                self.voxel_size, self.pc_range, self.feature_map_stride,
+            ).reshape(rois.shape[0], -1)
             cls, reg, _ = PDVHead(
                 pc_range=self.pc_range, voxel_size=self.voxel_size,
                 grid_size=self.roi_grid_size,
                 with_attention=self.roi_attention,
                 use_running_average=self.use_running_average,
                 axis_names=self.axis_names, dtype=self.dtype, name="roi_head",
-            )(rois, dec["mask"], levels)
+            )(rois, dec["mask"], levels, extra_feats=kp_feats)
             roi_out = {"rois": rois, "roi_mask": dec["mask"],
                        "roi_scores": dec["scores"], "roi_labels": dec["labels"],
                        "cls_logit": cls, "reg_deltas": reg}
@@ -149,6 +160,7 @@ class CenterPoint:
             grid_zyx=self.grid_zyx,
             with_velocity=bool(model_cfg.get("WITH_VELOCITY", True)),
             with_iou=bool(model_cfg.get("WITH_IOU", True)),
+            backbone_residual=bool(model_cfg.get("BACKBONE_RESIDUAL", True)),
             second_stage=self.second_stage,
             roi_budget=int(model_cfg.get("ROI_BUDGET", 128)),
             roi_grid_size=int(model_cfg.get("ROI_GRID_SIZE", 6)),

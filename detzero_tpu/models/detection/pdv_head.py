@@ -62,9 +62,10 @@ class PDVHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, rois, roi_mask, levels):
+    def __call__(self, rois, roi_mask, levels, extra_feats=None):
         """rois (R, 7); levels: list of dicts {features (V, C), ids (V,),
-        mask (V,), stride (static int)}. Returns (cls_logit (R,),
+        mask (V,), stride (static int)}; extra_feats (R, E) optional
+        (e.g. BEV keypoint samples). Returns (cls_logit (R,),
         reg_deltas (R, code_size), pooled (R, G^3, C'))."""
         r = rois.shape[0]
         g3 = self.grid_size ** 3
@@ -125,6 +126,8 @@ class PDVHead(nn.Module):
             pooled = nn.LayerNorm(dtype=self.dtype)(pooled + attn)
 
         h = pooled.reshape(r, -1)
+        if extra_feats is not None:
+            h = jnp.concatenate([h, extra_feats.astype(self.dtype)], axis=-1)
         h = MLP(self.shared_channels,
                 use_running_average=self.use_running_average,
                 axis_names=self.axis_names, dtype=self.dtype,

@@ -135,6 +135,45 @@ def inverse_pose(pose):
     return inv
 
 
+def bilinear_sample_bev(bev_hwc, xy, voxel_size, pc_range,
+                        feature_map_stride: int):
+    """Bilinearly sample BEV features at metric (x, y) locations
+    (centernet_utils.py:233 bilinear_interpolate_torch — used by the
+    reference's two-stage keypoint feature sampling, center_head.py:457).
+
+    bev_hwc (H, W, C); xy (N, 2) lidar coords -> (N, C).
+    """
+    h, w, c = bev_hwc.shape
+    fx = (xy[:, 0] - pc_range[0]) / (voxel_size[0] * feature_map_stride) - 0.5
+    fy = (xy[:, 1] - pc_range[1]) / (voxel_size[1] * feature_map_stride) - 0.5
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 2)
+    tx = jnp.clip(fx - x0, 0.0, 1.0)[:, None]
+    ty = jnp.clip(fy - y0, 0.0, 1.0)[:, None]
+    f00 = bev_hwc[y0, x0]
+    f01 = bev_hwc[y0, x0 + 1]
+    f10 = bev_hwc[y0 + 1, x0]
+    f11 = bev_hwc[y0 + 1, x0 + 1]
+    return ((1 - ty) * ((1 - tx) * f00 + tx * f01)
+            + ty * ((1 - tx) * f10 + tx * f11))
+
+
+def box_keypoints_bev(boxes):
+    """5 BEV keypoints per box: center + 4 side midpoints (reference
+    get_box_center, center_head.py:408). (N, 7) -> (N, 5, 2)."""
+    c, s = jnp.cos(boxes[:, 6]), jnp.sin(boxes[:, 6])
+    hx = boxes[:, 3] / 2
+    hy = boxes[:, 4] / 2
+    offs = jnp.stack([
+        jnp.zeros_like(hx), jnp.zeros_like(hx),  # center
+        hx, jnp.zeros_like(hx), -hx, jnp.zeros_like(hx),
+        jnp.zeros_like(hy), hy, jnp.zeros_like(hy), -hy,
+    ], axis=1).reshape(-1, 5, 2)
+    x = offs[..., 0] * c[:, None] - offs[..., 1] * s[:, None] + boxes[:, None, 0]
+    y = offs[..., 0] * s[:, None] + offs[..., 1] * c[:, None] + boxes[:, None, 1]
+    return jnp.stack([x, y], axis=-1)
+
+
 def get_voxel_centers(voxel_coords, downsample_times, voxel_size, point_cloud_range):
     """(N, 3) zyx int coords -> (N, 3) xyz centers (common_utils.py:253)."""
     coords = voxel_coords[:, ::-1].astype(jnp.float32)  # zyx -> xyz
