@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,13 +36,37 @@ def plan_grids(grid_zyx):
     return grids
 
 
-def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int]):
+def _downsample_centroids(centroids, in_coords, in_mask, out_ids, stride_zyx,
+                          out_grid_zyx):
+    """Mean point-centroid per downsampled voxel (PDV's
+    get_centroids_per_voxel_layer, voxel_aggregation_utils.py:108): each input
+    voxel contributes its centroid to its principal output site."""
+    onz, ony, onx = out_grid_zyx
+    st = jnp.asarray(stride_zyx, jnp.int32)
+    oc = in_coords // st[None, :]
+    oid = (oc[:, 0] * ony + oc[:, 1]) * onx + oc[:, 2]
+    pos = jnp.minimum(jnp.searchsorted(out_ids, oid).astype(jnp.int32),
+                      out_ids.shape[0] - 1)
+    ok = (out_ids[pos] == oid) & in_mask
+    seg = jnp.where(ok, pos, out_ids.shape[0])
+    sums = jax.ops.segment_sum(
+        jnp.where(ok[:, None], centroids, 0.0), seg,
+        num_segments=out_ids.shape[0] + 1)[:-1]
+    cnts = jax.ops.segment_sum(ok.astype(centroids.dtype), seg,
+                               num_segments=out_ids.shape[0] + 1)[:-1]
+    return sums / jnp.maximum(cnts[:, None], 1.0)
+
+
+def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int],
+               centroids=None):
     """Precompute index maps for all four stride levels.
 
     capacities: voxel budgets per level [V1, V2, V3, V4]. Returns a list of
     per-level dicts of ARRAYS only (vmap-safe): {ids, coords, mask, subm_idx,
-    subm_found} plus downsample gather maps between levels. Static grids come
-    from plan_grids().
+    subm_found[, centroids]} plus downsample gather maps between levels.
+    Static grids come from plan_grids(). `centroids` (V, 3): per-voxel mean
+    point positions (= the voxelizer's xyz feature columns) — propagated per
+    level for PDV centroid-relative pooling.
     """
     grids = plan_grids(grid_zyx)
     levels = []
@@ -57,6 +82,8 @@ def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int]):
             "subm_idx": sub_idx, "subm_found": sub_found,
             "subm_idx_t": st_idx, "subm_found_t": st_found,
         }
+        if centroids is not None:
+            entry["centroids"] = centroids
         if lvl < 3:
             (n_ids, n_coords, n_mask, d_idx, d_found, _) = sparse.build_downsample(
                 ids, cds, msk, grid, (2, 2, 2), (3, 3, 3), capacities[lvl + 1]
@@ -67,6 +94,9 @@ def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int]):
             entry["down_found"] = d_found
             entry["down_idx_t"] = dt_idx
             entry["down_found_t"] = dt_found
+            if centroids is not None:
+                centroids = _downsample_centroids(
+                    centroids, cds, msk, n_ids, (2, 2, 2), grids[lvl + 1])
             ids, cds, msk = n_ids, n_coords, n_mask
         levels.append(entry)
     # final z-compression conv: stride (2,1,1), kernel (3,1,1)

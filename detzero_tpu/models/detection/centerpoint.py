@@ -90,11 +90,14 @@ class CenterPointNet(nn.Module):
             levels = []
             for name, lvl_i, stride in (("x_conv3", 2, 4), ("x_conv4", 3, 8)):
                 ms = out3d["multi_scale_3d_features"][name]
-                levels.append({
+                lvl = {
                     "features": jax.lax.stop_gradient(ms["features"]),
                     "ids": ms["ids"], "mask": ms["mask"],
                     "stride": stride, "grid_zyx": grids[lvl_i],
-                })
+                }
+                if "centroids" in plan[lvl_i]:
+                    lvl["centroids"] = plan[lvl_i]["centroids"]
+                levels.append(lvl)
             rois = dec["boxes"][:, :7]
             # BEV keypoint features: sample the 2D map at center + 4 side
             # midpoints per RoI (reference center_head.py:457-484)
@@ -179,8 +182,11 @@ class CenterPoint:
                                 self.voxel_size, self.pc_range, self.max_voxels)
 
     def build_plan(self, table):
+        # voxel xyz feature columns ARE the per-voxel point centroids
+        # (segment means) — propagate them for PDV centroid-relative pooling
         return build_plan(table["voxel_ids"], table["voxel_coords"],
-                          table["voxel_mask"], self.grid_zyx, self.capacities)
+                          table["voxel_mask"], self.grid_zyx, self.capacities,
+                          centroids=table["voxel_features"][:, :3])
 
     # ---------------- batched entry points ----------------
 

@@ -86,13 +86,17 @@ class PDVHead(nn.Module):
                                          max_range=1, nsample=self.nsample)
             found = found & lvl["mask"][idx]
             feats = lvl["features"][idx]  # (RG, S, C)
-            # relative position of neighbor voxel centers to the grid point
-            vids = lvl["ids"][idx]
-            vz = vids // (ny * nx)
-            rem = vids - vz * (ny * nx)
-            vy, vx = rem // nx, rem - (rem // nx) * nx
-            centers = (jnp.stack([vx, vy, vz], -1).astype(jnp.float32) + 0.5) \
-                * (vs * stride) + pc_min
+            if "centroids" in lvl:
+                # PDV: relative position to the voxel's POINT CENTROID
+                # (pdv_head.py:592 PDVHead vs VoxelCenterHead:567)
+                centers = lvl["centroids"][idx]
+            else:
+                vids = lvl["ids"][idx]
+                vz = vids // (ny * nx)
+                rem = vids - vz * (ny * nx)
+                vy, vx = rem // nx, rem - (rem // nx) * nx
+                centers = (jnp.stack([vx, vy, vz], -1).astype(jnp.float32)
+                           + 0.5) * (vs * stride) + pc_min
             rel = centers - flat[:, None, :]
             h = jnp.concatenate([feats.astype(self.dtype),
                                  rel.astype(self.dtype)], axis=-1)
