@@ -17,6 +17,13 @@ from detzero_tpu.ops.iou3d import boxes_iou_bev, boxes_iou_normal
 from detzero_tpu.ops.box_ops import boxes3d_to_bev
 
 
+def _fused_nms_available():
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _greedy_suppress(iou, valid, thresh):
     """iou (K,K) over score-sorted boxes; valid (K,) input mask.
     Returns keep mask (K,)."""
@@ -51,8 +58,14 @@ def nms_bev(boxes, scores, thresh: float, pre_max: int = 512, post_max: int = 12
     top_boxes = boxes[order]
     valid = jnp.isfinite(top_scores)
     bev = boxes3d_to_bev(top_boxes)
-    iou = boxes_iou_bev(bev, bev) if rotated else boxes_iou_normal(top_boxes, top_boxes)
-    keep = _greedy_suppress(iou, valid, thresh)
+    if rotated and _fused_nms_available():
+        # single fused kernel: IoU matrix + greedy walk entirely in VMEM
+        from detzero_tpu.ops import pallas_iou
+        keep = pallas_iou.nms_keep_mask(bev, valid, thresh)
+    else:
+        iou = (boxes_iou_bev(bev, bev) if rotated
+               else boxes_iou_normal(top_boxes, top_boxes))
+        keep = _greedy_suppress(iou, valid, thresh)
     # stable-compact kept entries to the front (they are already score-sorted)
     priority = jnp.where(keep, jnp.arange(k), k)
     compact = jnp.argsort(priority)

@@ -239,6 +239,72 @@ def boxes_iou_bev_pairwise(boxes_a, boxes_b):
     return _launch_pairwise(boxes_a, boxes_b, "iou", not _on_tpu())
 
 
+_NMS_N = 1024  # fused-NMS candidate budget (score-sorted, padded)
+
+
+def _nms_kernel_factory(thresh: float, n: int):
+    n_tiles = n // 128
+
+    def kernel(boxes_ref, valid_ref, keep_ref, iou_scratch):
+        # 1) full NxN rotated-IoU into VMEM scratch, 128x128 tiles
+        for i in range(n_tiles):
+            a = boxes_ref[:, i * 128:(i + 1) * 128]
+            area_a = (a[2, :] * a[3, :])[:, None]
+            for j in range(n_tiles):
+                b = boxes_ref[:, j * 128:(j + 1) * 128]
+                inter = _overlap_tile(a, b)
+                area_b = (b[2, :] * b[3, :])[None, :]
+                union = jnp.maximum(area_a + area_b - inter, 1e-6)
+                iou_scratch[i * 128:(i + 1) * 128,
+                            j * 128:(j + 1) * 128] = inter / union
+        # 2) greedy score-order suppression (boxes pre-sorted by score)
+        valid = valid_ref[0, :][None, :]  # (1, N) f32
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+        def body(i, supp):
+            onehot = (col == i).astype(jnp.float32)
+            supp_i = jnp.sum(supp * onehot)
+            valid_i = jnp.sum(valid * onehot)
+            keep_i = valid_i * (1.0 - supp_i)
+            row = iou_scratch[pl.ds(i, 1), :]  # (1, N)
+            new = keep_i * jnp.where((row > thresh) & (col > i), 1.0, 0.0)
+            return jnp.maximum(supp, new)
+
+        supp = jax.lax.fori_loop(0, n, body, jnp.zeros((1, n), jnp.float32))
+        keep_ref[:, :] = (valid * (1.0 - supp)).reshape(n // 128, 128)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("thresh", "interpret", "budget"))
+def _launch_nms(boxes_sorted, valid, thresh: float, interpret: bool,
+                budget: int = _NMS_N):
+    """boxes_sorted (N, 5) score-DESC; valid (N,). Returns keep mask (N,)."""
+    n = boxes_sorted.shape[0]
+    np_ = -(-n // budget) * budget if n > budget else budget
+    b = _pad_to(boxes_sorted[:, :5].astype(jnp.float32), np_).T  # (5, Np)
+    v = _pad_to(valid.astype(jnp.float32), np_)[None, :]
+    out = pl.pallas_call(
+        _nms_kernel_factory(float(thresh), np_),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_ // 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((np_, np_), jnp.float32)],
+        interpret=interpret,
+    )(b, v)
+    return out.reshape(np_)[:n] > 0.5
+
+
+def nms_keep_mask(boxes_sorted, valid, thresh: float, budget: int = _NMS_N):
+    """Fused rotated NMS: IoU matrix + greedy suppression in one kernel.
+    boxes_sorted (N, 5) BEV boxes in score-descending order."""
+    return _launch_nms(boxes_sorted, valid, thresh, not _on_tpu(),
+                       budget=budget)
+
+
 def _on_tpu():
     return jax.devices()[0].platform in ("tpu", "axon")
 
