@@ -27,7 +27,7 @@ def affinity_matrix(det_boxes, trk_boxes, metric: str = "iou_bev"):
     if len(det_boxes) == 0 or len(trk_boxes) == 0:
         return np.zeros((len(det_boxes), len(trk_boxes)))
     if metric == "iou_bev":
-        return box_np.boxes_iou_bev(
+        return box_np.boxes_iou_bev_vec(
             box_np.boxes3d_to_bev(np.asarray(det_boxes)),
             box_np.boxes3d_to_bev(np.asarray(trk_boxes)),
         )

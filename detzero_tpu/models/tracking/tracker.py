@@ -38,17 +38,21 @@ def overlap_box_filter(boxes, scores, labels, overlap_thresh: float = 0.7):
     if n < 2:
         return keep, ~keep
     order = np.argsort(-np.asarray(scores))
-    bev = box_np.boxes3d_to_bev(np.asarray(boxes))
+    bev = box_np.boxes3d_to_bev(np.asarray(boxes, float))
+    ov = box_np.boxes_overlap_bev_vec(bev, bev)  # (n, n), one vectorized pass
+    areas = bev[:, 2] * bev[:, 3]
+    min_area = np.minimum(areas[:, None], areas[None, :])
+    ratio = np.where(min_area > 0, ov / np.maximum(min_area, 1e-9), 0.0)
+    same = np.asarray(labels)[:, None] == np.asarray(labels)[None, :]
     for oi, i in enumerate(order):
         if not keep[i]:
             continue
-        for j in order[oi + 1:]:
-            if not keep[j] or labels[i] != labels[j]:
-                continue
-            ov = box_np.rotated_overlap_bev(bev[i], bev[j])
-            area = min(bev[i][2] * bev[i][3], bev[j][2] * bev[j][3])
-            if area > 0 and ov / area > overlap_thresh:
-                keep[j] = False
+        sup = (ratio[i] > overlap_thresh) & same[i] & keep
+        sup[i] = False
+        # only suppress lower-scored boxes (later in `order`)
+        later = np.zeros(n, bool)
+        later[order[oi + 1:]] = True
+        keep[sup & later] = False
     return keep, ~keep
 
 

@@ -107,13 +107,87 @@ def rotated_union_hull_bev(box_a: np.ndarray, box_b: np.ndarray) -> float:
     return _convex_hull_area(np.concatenate([ca, cb], axis=0))
 
 
+def boxes_overlap_bev_vec(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """(N,5)x(M,5) -> (N,M) intersection areas, fully vectorized.
+
+    Same fixed-8-slot Sutherland–Hodgman + rank-compaction formulation as the
+    Pallas kernel, in float64 NumPy — the tracker's per-frame affinity path
+    (python-loop clipping was ~50 ms/frame; this is ~100x faster)."""
+    n, m = len(boxes_a), len(boxes_b)
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    cap = 8
+    ca = boxes_to_corners_bev(boxes_a)  # (N, 4, 2) float64
+    cb = boxes_to_corners_bev(boxes_b)  # (M, 4, 2)
+    px = np.zeros((n, m, cap))
+    py = np.zeros((n, m, cap))
+    pv = np.zeros((n, m, cap), bool)
+    px[:, :, :4] = ca[:, None, :, 0]
+    py[:, :, :4] = ca[:, None, :, 1]
+    pv[:, :, :4] = True
+    cnt = np.full((n, m), 4, np.int64)
+    slot = np.arange(cap)
+
+    for e in range(4):
+        x1 = cb[None, :, e, 0]              # (1, M)
+        y1 = cb[None, :, e, 1]
+        x2 = cb[None, :, (e + 1) % 4, 0]
+        y2 = cb[None, :, (e + 1) % 4, 1]
+        ex = (x2 - x1)[..., None]
+        ey = (y2 - y1)[..., None]
+        d = ex * (py - y1[..., None]) - ey * (px - x1[..., None])
+        inside = (d >= -1e-9) & pv
+        last = slot[None, None, :] == (cnt[..., None] - 1)
+        nxt_px = np.where(last, px[:, :, :1], np.roll(px, -1, axis=2))
+        nxt_py = np.where(last, py[:, :, :1], np.roll(py, -1, axis=2))
+        nxt_d = np.where(last, d[:, :, :1], np.roll(d, -1, axis=2))
+        nxt_in = np.where(last, inside[:, :, :1], np.roll(inside, -1, axis=2)) & pv
+        crossing = pv & (inside != nxt_in)
+        denom = d - nxt_d
+        t = d / np.where(np.abs(denom) > 1e-12, denom, 1.0)
+        ix = px + t * (nxt_px - px)
+        iy = py + t * (nxt_py - py)
+        # emit interleaved (2*cap slots), then compact valid entries to the
+        # front with ONE stable argsort (order-preserving)
+        em_x = np.stack([px, ix], axis=3).reshape(n, m, 2 * cap)
+        em_y = np.stack([py, iy], axis=3).reshape(n, m, 2 * cap)
+        em_v = np.stack([inside, crossing], axis=3).reshape(n, m, 2 * cap)
+        order = np.argsort(~em_v, axis=2, kind="stable")[:, :, :cap]
+        px = np.take_along_axis(em_x, order, axis=2)
+        py = np.take_along_axis(em_y, order, axis=2)
+        pv = np.take_along_axis(em_v, order, axis=2)
+        px[~pv] = 0.0
+        py[~pv] = 0.0
+        cnt = pv.sum(axis=2)
+
+    last = slot[None, None, :] == (cnt[..., None] - 1)
+    nxt_px = np.where(last, px[:, :, :1], np.roll(px, -1, axis=2))
+    nxt_py = np.where(last, py[:, :, :1], np.roll(py, -1, axis=2))
+    contrib = np.where(pv, px * nxt_py - nxt_px * py, 0.0)
+    area = np.abs(contrib.sum(axis=2)) / 2.0
+    return np.where(cnt >= 3, area, 0.0)
+
+
 def boxes_overlap_bev(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
-    """(N,5)x(M,5) -> (N,M) intersection areas."""
+    """(N,5)x(M,5) -> (N,M) intersection areas.
+
+    ORACLE path: per-pair Sutherland–Hodgman with dynamic python lists —
+    algorithmically independent of the fixed-slot vectorized/Pallas versions
+    it validates. Production host code should call boxes_overlap_bev_vec."""
     out = np.zeros((len(boxes_a), len(boxes_b)))
     for i, a in enumerate(boxes_a):
         for j, b in enumerate(boxes_b):
             out[i, j] = rotated_overlap_bev(a, b)
     return out
+
+
+def boxes_iou_bev_vec(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """(N,5)x(M,5) rotated BEV IoU, vectorized (production host path)."""
+    ov = boxes_overlap_bev_vec(np.asarray(boxes_a, np.float64),
+                               np.asarray(boxes_b, np.float64))
+    area_a = (boxes_a[:, 2] * boxes_a[:, 3])[:, None]
+    area_b = (boxes_b[:, 2] * boxes_b[:, 3])[None, :]
+    return ov / np.clip(area_a + area_b - ov, 1e-6, None)
 
 
 def boxes_iou_bev(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:

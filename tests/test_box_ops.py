@@ -88,3 +88,15 @@ def test_get_voxel_centers():
     )
     np.testing.assert_allclose(centers[0], [-75.1, -75.1, -1.85], atol=1e-5)
     np.testing.assert_allclose(centers[1], [-75.2 + 0.2 * 3.5, -75.2 + 0.2 * 2.5, -2 + 0.3 * 1.5], atol=1e-5)
+
+
+def test_vectorized_np_overlap_matches_oracle(rng):
+    from detzero_tpu.ops import box_np
+
+    b = np.zeros((24, 5))
+    b[:, :2] = rng.uniform(-8, 8, (24, 2))
+    b[:, 2:4] = rng.uniform(1, 5, (24, 2))
+    b[:, 4] = rng.uniform(-3, 3, 24)
+    got = box_np.boxes_overlap_bev_vec(b, b)
+    want = box_np.boxes_overlap_bev(b, b)
+    np.testing.assert_allclose(got, want, atol=1e-6)
