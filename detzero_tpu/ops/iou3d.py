@@ -25,37 +25,6 @@ from detzero_tpu.ops.box_ops import boxes_to_corners_bev, boxes3d_to_bev
 _EPS = 1e-8
 
 
-def _corners_in_box(corners, box):
-    """(4, 2) corners vs one BEV box (5,) -> (4,) bool (inclusive)."""
-    d = corners - box[:2]
-    c, s = jnp.cos(-box[4]), jnp.sin(-box[4])
-    lx = d[:, 0] * c - d[:, 1] * s
-    ly = d[:, 0] * s + d[:, 1] * c
-    return (jnp.abs(lx) <= box[2] / 2 + 1e-5) & (jnp.abs(ly) <= box[3] / 2 + 1e-5)
-
-
-def _edge_intersections(ca, cb):
-    """All 16 segment-pair crossings between two quads. -> pts (16,2), valid (16,)."""
-    p1 = ca  # (4,2)
-    p2 = jnp.roll(ca, -1, axis=0)
-    q1 = cb
-    q2 = jnp.roll(cb, -1, axis=0)
-    d1 = (p2 - p1)[:, None, :]  # (4,1,2)
-    d2 = (q2 - q1)[None, :, :]  # (1,4,2)
-    w = q1[None, :, :] - p1[:, None, :]  # (4,4,2)
-    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]  # (4,4)
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    t = (w[..., 0] * d2[..., 1] - w[..., 1] * d2[..., 0]) / safe
-    u = (w[..., 0] * d1[..., 1] - w[..., 1] * d1[..., 0]) / safe
-    valid = (
-        (jnp.abs(denom) > _EPS)
-        & (t >= -1e-6) & (t <= 1 + 1e-6)
-        & (u >= -1e-6) & (u <= 1 + 1e-6)
-    )
-    pts = p1[:, None, :] + t[..., None] * d1
-    return pts.reshape(16, 2), valid.reshape(16)
-
-
 _CAP = 8  # polygon buffer slots: clipping a convex quad by one half-plane
 # adds at most one vertex, so 4 passes need only 4+4=8 slots.
 
