@@ -21,6 +21,11 @@ A100_EST_FPS = 20.0
 
 def main():
     import jax
+    # persistent compilation cache: the full-scale model + fused NMS compile
+    # takes minutes via the remote-compile service; cache hits are seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1" or jax.devices()[0].platform == "cpu"
     os.environ["GRAFT_TINY"] = "1" if tiny else "0"
