@@ -15,9 +15,20 @@ protocol natively:
   * CLEAR-MOT tracking metrics (MOTA / MOTP / miss / mismatch / FP) matching
     waymo_eval_tracking.py's reported quantities.
 
-Deviation from the TF op: PR integration uses the full interpolated-envelope
-area rather than 101 fixed score cutoffs (differences are < 0.1 mAP in
-practice); documented so golden-log comparisons account for it.
+Two PR-integration modes (``ap_mode`` argument of :func:`evaluate_detection`):
+
+  * ``"envelope"`` (default): full interpolated-envelope area over every
+    operating point — fast, one Hungarian match per frame.
+  * ``"waymo101"``: the reference TF op's sampling — the PR curve is
+    evaluated at the 101 fixed score cutoffs 0.00, 0.01, ..., 0.99, 1.00
+    (detection/detzero_det/datasets/waymo/waymo_eval_detection.py:128-130),
+    with the Hungarian matching re-run per cutoff on the score-filtered
+    prediction set exactly like the waymo_open_dataset matcher. Recall gaps
+    larger than 0.05 between consecutive cutoffs are bridged with
+    conservatively-inserted points (precision of the lower-recall endpoint)
+    before trapezoidal integration, mirroring the metric op's
+    recall-delta capping. Differences between the two modes are < 0.1 mAP
+    on dense score distributions.
 """
 
 from __future__ import annotations
@@ -68,23 +79,134 @@ def _average_precision(tp_weights, fp_flags, scores, num_gt):
     return float(np.sum((r[1:] - r[:-1]) * p[1:]))
 
 
+# 101 fixed score cutoffs of the reference metric op
+# (waymo_eval_detection.py:128-130).
+WAYMO_SCORE_CUTOFFS = np.concatenate([np.arange(100) * 0.01, [1.0]])
+
+
+def _frame_match_stats(pb, ps, gb, hard, iou_thresh):
+    """Single-frame matching → per-prediction (matched, heading_acc, hard_gt)."""
+    pi, gi, _ = _match_frame(pb, ps, gb, iou_thresh)
+    matched = np.zeros(len(pb), bool)
+    matched[pi] = True
+    hacc = np.zeros(len(pb))
+    gt_hard = np.zeros(len(pb), bool)
+    if len(pi):
+        hacc[pi] = _heading_accuracy(pb[pi, 6], gb[gi, 6])
+        gt_hard[pi] = hard[gi]
+    return matched, hacc, gt_hard
+
+
+def _accumulate_cutoff_stats(frames, iou_thresh, cutoffs, acc):
+    """Per-cutoff TP/heading-sum/FP accumulation with exact re-matching.
+
+    The reference metric op filters predictions by ``score >= cutoff`` and
+    re-runs the Hungarian matcher per cutoff; since the filtered set is a
+    prefix of the score-sorted predictions, only distinct prefix lengths
+    need a fresh match.
+
+    acc: dict with 'tp','ha','fp' per level -> (n_cutoffs,) arrays, mutated.
+    """
+    for pb, ps, gb, hard in frames:
+        order = np.argsort(-ps)
+        pb, ps = pb[order], ps[order]
+        # prefix length per cutoff: number of scores >= cutoff
+        ks = np.searchsorted(-ps, -cutoffs, side="right")
+        for k in np.unique(ks):
+            if k == 0:
+                continue
+            matched, hacc, gt_hard = _frame_match_stats(
+                pb[:k], ps[:k], gb, hard, iou_thresh)
+            sel = ks == k
+            tp2 = float(matched.sum())
+            acc["L2"]["tp"][sel] += tp2
+            acc["L2"]["ha"][sel] += float(hacc[matched].sum())
+            acc["L2"]["fp"][sel] += k - tp2
+            easy_tp = matched & ~gt_hard
+            tp1 = float(easy_tp.sum())
+            acc["L1"]["tp"][sel] += tp1
+            acc["L1"]["ha"][sel] += float(hacc[easy_tp].sum())
+            acc["L1"]["fp"][sel] += k - tp2  # hard-GT matches are ignored
+
+
+def _integrate_pr_capped(precision, recall, max_recall_delta=0.05):
+    """Trapezoidal area under the cutoff-sampled PR curve.
+
+    Points arrive ordered by increasing score cutoff (non-increasing
+    recall). Recall gaps > max_recall_delta get intermediate points with
+    the precision of the lower-recall (higher-cutoff) side so sparse
+    sampling cannot overestimate the area; a final (recall=0) point closes
+    the curve.
+    """
+    r, p = [], []
+    for ri, pi in zip(recall, precision):
+        if r and ri > r[-1] + 1e-12:  # enforce monotone non-increasing
+            ri = r[-1]
+        r.append(float(ri))
+        p.append(float(pi))
+    if not r:
+        return 0.0
+    rr, pp = [r[0]], [p[0]]
+    for i in range(1, len(r)):
+        gap = rr[-1] - r[i]
+        while gap > max_recall_delta:
+            rr.append(rr[-1] - max_recall_delta)
+            pp.append(p[i])
+            gap = rr[-1] - r[i]
+        rr.append(r[i])
+        pp.append(p[i])
+    rr.append(0.0)
+    pp.append(pp[-1])
+    rr = np.asarray(rr)
+    pp = np.asarray(pp)
+    return float(np.sum((rr[:-1] - rr[1:]) * 0.5 * (pp[:-1] + pp[1:])))
+
+
+def _ap_waymo101(frames, iou_thresh, num_gt, cutoffs=None):
+    """(AP, APH) for one (class, level-partition) via 101-cutoff sampling."""
+    cutoffs = WAYMO_SCORE_CUTOFFS if cutoffs is None else cutoffs
+    n = len(cutoffs)
+    acc = {lvl: {k: np.zeros(n) for k in ("tp", "ha", "fp")}
+           for lvl in ("L1", "L2")}
+    _accumulate_cutoff_stats(frames, iou_thresh, cutoffs, acc)
+    out = {}
+    for lvl in ("L1", "L2"):
+        a = acc[lvl]
+        denom = np.maximum(a["tp"] + a["fp"], 1e-9)
+        ng = max(num_gt[lvl], 1e-9)
+        keep = (a["tp"] + a["fp"]) > 0  # drop cutoffs with no predictions
+        if not keep.any() or num_gt[lvl] == 0:
+            out[f"AP_{lvl}"] = out[f"APH_{lvl}"] = 0.0
+            continue
+        out[f"AP_{lvl}"] = _integrate_pr_capped(
+            (a["tp"] / denom)[keep], (a["tp"] / ng)[keep])
+        out[f"APH_{lvl}"] = _integrate_pr_capped(
+            (a["ha"] / denom)[keep], (a["ha"] / ng)[keep])
+    return out
+
+
 def evaluate_detection(preds, gts, class_names=("Vehicle", "Pedestrian",
                                                 "Cyclist"),
-                       iou_thresholds=None, with_range_breakdown=False):
+                       iou_thresholds=None, with_range_breakdown=False,
+                       ap_mode="envelope"):
     """preds/gts: lists (per frame) of dicts.
         pred: {'boxes_lidar' (N, 7+), 'score' (N,), 'name' (N,) str}
         gt:   {'gt_boxes' (M, 7), 'name' (M,), 'num_points' (M,) optional,
                'difficulty' (M,) optional (2 = hard)}
+    ap_mode: 'envelope' (interpolated envelope, single match per frame) or
+        'waymo101' (exact 101-score-cutoff sampling with per-cutoff
+        re-matching — the reference TF op's protocol; slower).
     Returns {class: {'AP_L1', 'APH_L1', 'AP_L2', 'APH_L2', ...}} plus 'mean'.
     """
+    if ap_mode not in ("envelope", "waymo101"):
+        raise ValueError(f"unknown ap_mode {ap_mode!r}")
     iou_thresholds = iou_thresholds or DEFAULT_IOU
     results = {}
     range_of = lambda b: np.linalg.norm(b[:, :2], axis=1)
 
     for cls in class_names:
-        recs = {"L1": [], "L2": []}  # (score, tp_w_ap, tp_w_aph, fp)
+        frames = []  # (pb, ps, gb, hard) per frame
         num_gt = {"L1": 0, "L2": 0}
-        rng_recs = {i: [] for i in range(len(RANGES))}
         rng_gt = {i: 0 for i in range(len(RANGES))}
 
         for pred, gt in zip(preds, gts):
@@ -105,51 +227,66 @@ def evaluate_detection(preds, gts, class_names=("Vehicle", "Pedestrian",
                 diff = np.concatenate([diff, np.ones(len(gb) - len(diff))])
             hard = (npts <= 5) | (diff >= 2)
 
-            pi, gi, iou = _match_frame(pb, ps, gb, iou_thresholds[cls])
-            matched_p = np.zeros(len(pb), bool)
-            matched_p[pi] = True
-            hacc = np.zeros(len(pb))
-            if len(pi):
-                hacc[pi] = _heading_accuracy(pb[pi, 6], gb[gi, 6])
-
-            gt_hard = np.zeros(len(pb), bool)
-            if len(pi):
-                gt_hard[pi] = hard[gi]
-
+            frames.append((pb, ps, gb, hard))
             num_gt["L2"] += len(gb)
             num_gt["L1"] += int((~hard).sum())
-            for s, m, h, is_hard in zip(ps, matched_p, hacc, gt_hard):
-                # L2 counts everything; L1 ignores hard GT matches entirely
-                recs["L2"].append((s, float(m), h * m, float(~m)))
-                if m and is_hard:
-                    continue  # neither TP nor FP at L1 (matched a hard GT)
-                recs["L1"].append((s, float(m), h * m, float(~m)))
-
             if with_range_breakdown:
                 centers_r = range_of(gb) if len(gb) else np.zeros(0)
-                pred_r = range_of(pb) if len(pb) else np.zeros(0)
                 for ri, (lo, hi) in enumerate(RANGES):
                     rng_gt[ri] += int(((centers_r >= lo) & (centers_r < hi)).sum())
-                    for k in range(len(pb)):
-                        if lo <= pred_r[k] < hi:
-                            rng_recs[ri].append(
-                                (ps[k], float(matched_p[k]),
-                                 hacc[k] * matched_p[k], float(~matched_p[k])))
 
-        out = {}
-        for lvl in ("L1", "L2"):
-            if recs[lvl]:
-                arr = np.asarray(recs[lvl])
-                out[f"AP_{lvl}"] = _average_precision(arr[:, 1], arr[:, 3],
-                                                      arr[:, 0], num_gt[lvl])
-                out[f"APH_{lvl}"] = _average_precision(arr[:, 2], arr[:, 3],
-                                                       arr[:, 0], num_gt[lvl])
-            else:
-                out[f"AP_{lvl}"] = out[f"APH_{lvl}"] = 0.0
+        if ap_mode == "waymo101":
+            out = _ap_waymo101(frames, iou_thresholds[cls], num_gt)
+            match_cache = None
+        else:
+            match_cache = [_frame_match_stats(pb, ps, gb, hard,
+                                              iou_thresholds[cls])
+                           for pb, ps, gb, hard in frames]
+            recs = {"L1": [], "L2": []}  # (score, tp_w_ap, tp_w_aph, fp)
+            for (pb, ps, gb, hard), (matched_p, hacc, gt_hard) in zip(
+                    frames, match_cache):
+                for s, m, h, is_hard in zip(ps, matched_p, hacc, gt_hard):
+                    # L2 counts everything; L1 ignores hard GT matches
+                    recs["L2"].append((s, float(m), h * m, float(~m)))
+                    if m and is_hard:
+                        continue  # neither TP nor FP at L1 (hard-GT match)
+                    recs["L1"].append((s, float(m), h * m, float(~m)))
+            out = {}
+            for lvl in ("L1", "L2"):
+                if recs[lvl]:
+                    arr = np.asarray(recs[lvl])
+                    out[f"AP_{lvl}"] = _average_precision(
+                        arr[:, 1], arr[:, 3], arr[:, 0], num_gt[lvl])
+                    out[f"APH_{lvl}"] = _average_precision(
+                        arr[:, 2], arr[:, 3], arr[:, 0], num_gt[lvl])
+                else:
+                    out[f"AP_{lvl}"] = out[f"APH_{lvl}"] = 0.0
+
         if with_range_breakdown:
             for ri, (lo, hi) in enumerate(RANGES):
-                if rng_recs[ri]:
-                    arr = np.asarray(rng_recs[ri])
+                rng_recs = []
+                rng_frames = []
+                for fi, (pb, ps, gb, hard) in enumerate(frames):
+                    gsel = (range_of(gb) >= lo) & (range_of(gb) < hi) \
+                        if len(gb) else np.zeros(0, bool)
+                    psel = (range_of(pb) >= lo) & (range_of(pb) < hi) \
+                        if len(pb) else np.zeros(0, bool)
+                    if ap_mode == "waymo101":
+                        rng_frames.append((pb[psel], ps[psel], gb[gsel],
+                                           hard[gsel]))
+                    else:
+                        matched_p, hacc, _ = match_cache[fi]
+                        for k in np.flatnonzero(psel):
+                            rng_recs.append(
+                                (ps[k], float(matched_p[k]),
+                                 hacc[k] * matched_p[k], float(~matched_p[k])))
+                if ap_mode == "waymo101":
+                    rout = _ap_waymo101(
+                        rng_frames, iou_thresholds[cls],
+                        {"L1": rng_gt[ri], "L2": rng_gt[ri]})
+                    out[f"AP_[{lo},{hi})"] = rout["AP_L2"]
+                elif rng_recs:
+                    arr = np.asarray(rng_recs)
                     out[f"AP_[{lo},{hi})"] = _average_precision(
                         arr[:, 1], arr[:, 3], arr[:, 0], rng_gt[ri])
                 else:

@@ -187,3 +187,88 @@ def test_tracking_metrics():
     res2 = evaluator.evaluate_tracking(switched, gt)
     assert res2["mismatch"] == pytest.approx(0.1)
     assert res2["MOTA"] == pytest.approx(0.9)
+
+
+def test_evaluator_waymo101_perfect_predictions():
+    gts, preds = [], []
+    rng = np.random.RandomState(0)
+    for f in range(5):
+        boxes = np.concatenate([
+            rng.uniform(-40, 40, (4, 2)), np.zeros((4, 1)),
+            np.tile([[4.5, 2.0, 1.6]], (4, 1)),
+            rng.uniform(-np.pi, np.pi, (4, 1))], axis=1)
+        gts.append({"gt_boxes": boxes, "name": np.array(["Vehicle"] * 4),
+                    "num_points": np.full(4, 50)})
+        preds.append({"boxes_lidar": boxes.copy(),
+                      "score": np.linspace(0.9, 0.6, 4),
+                      "name": np.array(["Vehicle"] * 4)})
+    res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",),
+                                       ap_mode="waymo101")
+    assert res["Vehicle"]["AP_L2"] == pytest.approx(1.0, abs=1e-6)
+    assert res["Vehicle"]["APH_L2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_evaluator_waymo101_hand_computed_staircase():
+    # one frame: 10 GT; 5 perfect preds @0.8, 5 far FPs @0.4.
+    # cutoffs <=0.4: P=0.5 R=0.5; 0.41..0.8: P=1 R=0.5; >0.8: no preds.
+    # area = 0.5 recall span at precision 1 (envelope tail closure) = 0.5
+    rng = np.random.RandomState(1)
+    gb = np.concatenate([
+        rng.uniform(-40, 40, (10, 2)), np.zeros((10, 1)),
+        np.tile([[4.5, 2.0, 1.6]], (10, 1)), np.zeros((10, 1))], axis=1)
+    fps = gb[:5].copy()
+    fps[:, :2] += 200.0
+    pb = np.concatenate([gb[:5], fps])
+    gts = [{"gt_boxes": gb, "name": np.array(["Vehicle"] * 10),
+            "num_points": np.full(10, 50)}]
+    preds = [{"boxes_lidar": pb,
+              "score": np.array([0.8] * 5 + [0.4] * 5),
+              "name": np.array(["Vehicle"] * 10)}]
+    res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",),
+                                       ap_mode="waymo101")
+    assert res["Vehicle"]["AP_L2"] == pytest.approx(0.5, abs=1e-6)
+    # envelope mode agrees exactly here
+    res_e = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",))
+    assert res_e["Vehicle"]["AP_L2"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_evaluator_waymo101_close_to_envelope_on_noisy_data():
+    rng = np.random.RandomState(3)
+    gts, preds = [], []
+    for f in range(8):
+        gb = np.concatenate([
+            rng.uniform(-40, 40, (6, 2)), np.zeros((6, 1)),
+            np.tile([[4.5, 2.0, 1.6]], (6, 1)),
+            rng.uniform(-np.pi, np.pi, (6, 1))], axis=1)
+        hit = gb[:4].copy()
+        hit[:, :2] += rng.uniform(-0.3, 0.3, (4, 2))
+        miss = gb[:3].copy()
+        miss[:, :2] += 150.0
+        pb = np.concatenate([hit, miss])
+        gts.append({"gt_boxes": gb, "name": np.array(["Vehicle"] * 6),
+                    "num_points": np.full(6, 50)})
+        preds.append({"boxes_lidar": pb, "score": rng.uniform(0.05, 0.95, 7),
+                      "name": np.array(["Vehicle"] * 7)})
+    r101 = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",),
+                                        ap_mode="waymo101")["Vehicle"]
+    renv = evaluator.evaluate_detection(preds, gts,
+                                        class_names=("Vehicle",))["Vehicle"]
+    for k in ("AP_L2", "APH_L2", "AP_L1"):
+        assert abs(r101[k] - renv[k]) < 0.08, (k, r101[k], renv[k])
+
+
+def test_evaluator_waymo101_l1_excludes_hard_gt_and_range_breakdown():
+    boxes = np.array([[5.0, 0, 0, 4.5, 2.0, 1.6, 0.0],
+                      [40.0, 0, 0, 4.5, 2.0, 1.6, 0.0]])
+    gts = [{"gt_boxes": boxes, "name": np.array(["Vehicle"] * 2),
+            "num_points": np.array([50, 2])}]  # 2nd is hard
+    preds = [{"boxes_lidar": boxes[:1], "score": np.array([0.9]),
+              "name": np.array(["Vehicle"])}]
+    res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",),
+                                       ap_mode="waymo101",
+                                       with_range_breakdown=True)
+    v = res["Vehicle"]
+    assert v["AP_L1"] == pytest.approx(1.0, abs=1e-6)
+    assert v["AP_L2"] < 1.0
+    assert v["AP_[0,30)"] == pytest.approx(1.0, abs=1e-6)  # near GT found
+    assert v["AP_[30,50)"] == 0.0  # far (hard) GT missed

@@ -50,6 +50,10 @@ def main():
     p.add_argument("--class_names", nargs="+",
                    default=["Vehicle", "Pedestrian", "Cyclist"])
     p.add_argument("--range_breakdown", action="store_true")
+    p.add_argument("--ap_mode", default="envelope",
+                   choices=["envelope", "waymo101"],
+                   help="waymo101 = reference TF op protocol: PR sampled at "
+                        "101 fixed score cutoffs, re-matched per cutoff")
     args = p.parse_args()
     logger = create_logger()
 
@@ -90,7 +94,8 @@ def main():
             })
 
     res = evaluate_detection(preds, gts, class_names=tuple(args.class_names),
-                             with_range_breakdown=args.range_breakdown)
+                             with_range_breakdown=args.range_breakdown,
+                             ap_mode=args.ap_mode)
     logger.info("\n" + format_results_table(res))
 
 
