@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from detzero_tpu.ops import box_ops
 from detzero_tpu.ops.box_ops import boxes_to_corners_bev, boxes3d_to_bev
 
 _EPS = 1e-8
@@ -224,4 +225,32 @@ def boxes_iou_normal(boxes_a, boxes_b):
     inter = ix * iy
     area_a = ((ax2 - ax1) * (ay2 - ay1))[:, None]
     area_b = ((bx2 - bx1) * (by2 - by1))[None]
+    return inter / jnp.clip(area_a + area_b - inter, 1e-6, None)
+
+
+def boxes3d_lidar_to_aligned_bev_boxes(boxes3d):
+    """Nearest-axis-aligned BEV corners (box_utils.py:292-303).
+
+    Boxes rotated within pi/4 of an axis keep (dx, dy); others swap them.
+    Returns (N, 4) [x1, y1, x2, y2].
+    """
+    rot = jnp.abs(box_ops.limit_period(boxes3d[:, 6], offset=0.5,
+                                       period=jnp.pi))
+    dims = jnp.where(rot[:, None] < jnp.pi / 4, boxes3d[:, 3:5],
+                     boxes3d[:, [4, 3]])
+    return jnp.concatenate([boxes3d[:, 0:2] - dims / 2,
+                            boxes3d[:, 0:2] + dims / 2], axis=1)
+
+
+def boxes3d_nearest_bev_iou(boxes_a, boxes_b):
+    """Axis-aligned-approximation BEV IoU (box_utils.py:306-319)."""
+    ca = boxes3d_lidar_to_aligned_bev_boxes(boxes_a)
+    cb = boxes3d_lidar_to_aligned_bev_boxes(boxes_b)
+    ix = jnp.clip(jnp.minimum(ca[:, None, 2], cb[None, :, 2])
+                  - jnp.maximum(ca[:, None, 0], cb[None, :, 0]), 0, None)
+    iy = jnp.clip(jnp.minimum(ca[:, None, 3], cb[None, :, 3])
+                  - jnp.maximum(ca[:, None, 1], cb[None, :, 1]), 0, None)
+    inter = ix * iy
+    area_a = ((ca[:, 2] - ca[:, 0]) * (ca[:, 3] - ca[:, 1]))[:, None]
+    area_b = ((cb[:, 2] - cb[:, 0]) * (cb[:, 3] - cb[:, 1]))[None]
     return inter / jnp.clip(area_a + area_b - inter, 1e-6, None)
