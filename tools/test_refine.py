@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--save_to_file", action="store_true")
     parser.add_argument("--split", default="val")
     parser.add_argument("--max_tracks", type=int, default=None)
+    parser.add_argument("--tta", action="store_true",
+                        help="GRM/PRM test-time augmentation: variant "
+                             "fan-out + inverse fuse (models/refining/tta)")
     args = parser.parse_args()
     apply_platform(args)
     cfg = load_config(args)
@@ -53,6 +56,12 @@ def main():
                      s0["pad_mask"])
     else:
         init_args = (s0["query_pts"], s0["pad_mask"])
+    use_tta = args.tta or bool(cfg.get("DATA_CONFIG", {}).get("TTA", False))
+    if use_tta and name not in ("GeometryTransformer", "PositionTransformer"):
+        use_tta = False  # CRM has no TTA (reference surface has none either)
+    if use_tta:
+        from detzero_tpu.models.refining import tta as tta_mod
+
     variables = model.init(jax.random.PRNGKey(0), *init_args)
     mgr = CheckpointManager(args.ckpt or (exp_dir / "ckpt"))
     state, step = mgr.restore_any()
@@ -62,6 +71,10 @@ def main():
                         if state.get("batch_stats") else {})}
         logger.info(f"loaded checkpoint step {step}")
     apply = jax.jit(model.apply)
+    if use_tta:
+        # one XLA program evaluates every variant (vmap over the K axis)
+        tta_apply = jax.jit(jax.vmap(model.apply,
+                                     in_axes=(None, 0, 0, 0, 0)))
 
     results = defaultdict(dict)
     in_hits = out_hits = total = 0
@@ -73,16 +86,32 @@ def main():
         seq, oid = rec.get("_key", ("seq0", i))
         boxes = np.asarray(rec["boxes_global"], np.float32).copy()
         if name == "GeometryTransformer":
-            pred = apply(variables, s["query_pts"], s["query_sizes"],
-                         s["memory_pts"], s["memory_mask"])
-            size = np.asarray(grm_decode(pred, anchors))
+            if use_tta:
+                ex = tta_mod.grm_tta_expand(s)
+                pred = tta_apply(variables, ex["query_pts"],
+                                 ex["query_sizes"], ex["memory_pts"],
+                                 ex["memory_mask"])
+                sizes = jax.vmap(lambda p: grm_decode(p, anchors))(pred)
+                size = np.asarray(tta_mod.grm_tta_fuse(sizes))
+            else:
+                pred = apply(variables, s["query_pts"], s["query_sizes"],
+                             s["memory_pts"], s["memory_mask"])
+                size = np.asarray(grm_decode(pred, anchors))
             refined = boxes.copy()
             refined[:, 3:6] = size[None, :]
             results[seq][oid] = {"size": size, "boxes_global": refined}
         elif name == "PositionTransformer":
-            pred = apply(variables, s["query_pts"], s["query_boxes"],
-                         s["memory_pts"], s["pad_mask"])
-            c_loc, h_loc = prm_decode(pred)
+            if use_tta:
+                ex = tta_mod.prm_tta_expand(s)
+                pred = tta_apply(variables, ex["query_pts"],
+                                 ex["query_boxes"], ex["memory_pts"],
+                                 ex["pad_mask"])
+                cs, hs = jax.vmap(prm_decode)(pred)
+                c_loc, h_loc = tta_mod.prm_tta_fuse(cs, hs)
+            else:
+                pred = apply(variables, s["query_pts"], s["query_boxes"],
+                             s["memory_pts"], s["pad_mask"])
+                c_loc, h_loc = prm_decode(pred)
             t = int(np.asarray(s["pad_mask"]).sum())
             c, h = rf.revert_prm_to_world(np.asarray(c_loc)[:t],
                                           np.asarray(h_loc)[:t], s["init_box"])
