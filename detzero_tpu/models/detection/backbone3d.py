@@ -58,7 +58,7 @@ def _downsample_centroids(centroids, in_coords, in_mask, out_ids, stride_zyx,
 
 
 def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int],
-               centroids=None):
+               centroids=None, site_mode: str = "principal"):
     """Precompute index maps for all four stride levels.
 
     capacities: voxel budgets per level [V1, V2, V3, V4]. Returns a list of
@@ -66,7 +66,9 @@ def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int],
     subm_found[, centroids]} plus downsample gather maps between levels.
     Static grids come from plan_grids(). `centroids` (V, 3): per-voxel mean
     point positions (= the voxelizer's xyz feature columns) — propagated per
-    level for PDV centroid-relative pooling.
+    level for PDV centroid-relative pooling. `site_mode`: downsample output
+    site derivation — "principal" (default) or "union" (exact spconv
+    candidate-union semantics; see ops/sparse.build_downsample).
     """
     grids = plan_grids(grid_zyx)
     levels = []
@@ -86,7 +88,8 @@ def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int],
             entry["centroids"] = centroids
         if lvl < 3:
             (n_ids, n_coords, n_mask, d_idx, d_found, _) = sparse.build_downsample(
-                ids, cds, msk, grid, (2, 2, 2), (3, 3, 3), capacities[lvl + 1]
+                ids, cds, msk, grid, (2, 2, 2), (3, 3, 3), capacities[lvl + 1],
+                site_mode=site_mode,
             )
             dt_idx, dt_found = sparse.build_transpose_index(
                 n_ids, cds, msk, (2, 2, 2), (3, 3, 3), grids[lvl + 1])
@@ -101,7 +104,8 @@ def build_plan(voxel_ids, coords, mask, grid_zyx, capacities: Sequence[int],
         levels.append(entry)
     # final z-compression conv: stride (2,1,1), kernel (3,1,1)
     (f_ids, f_coords, f_mask, f_idx, f_found, _) = sparse.build_downsample(
-        ids, cds, msk, grids[3], (2, 1, 1), (3, 1, 1), capacities[3]
+        ids, cds, msk, grids[3], (2, 1, 1), (3, 1, 1), capacities[3],
+        site_mode=site_mode,
     )
     ft_idx, ft_found = sparse.build_transpose_index(
         f_ids, cds, msk, (2, 1, 1), (3, 1, 1), grids[4])

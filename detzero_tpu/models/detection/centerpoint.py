@@ -151,6 +151,7 @@ class CenterPoint:
         if groups is None:
             groups = [[i] for i in range(num_classes)]
         self.class_ids_each_head = tuple(tuple(g) for g in groups)
+        self.site_mode = model_cfg.get("DOWNSAMPLE_SITE_MODE", "principal")
         self.capacities = tuple(model_cfg.get(
             "VOXEL_CAPACITIES", (max_voxels, max_voxels // 2,
                                  max_voxels // 4, max_voxels // 8)))
@@ -186,7 +187,8 @@ class CenterPoint:
         # (segment means) — propagate them for PDV centroid-relative pooling
         return build_plan(table["voxel_ids"], table["voxel_coords"],
                           table["voxel_mask"], self.grid_zyx, self.capacities,
-                          centroids=table["voxel_features"][:, :3])
+                          centroids=table["voxel_features"][:, :3],
+                          site_mode=self.site_mode)
 
     # ---------------- batched entry points ----------------
 

@@ -65,35 +65,68 @@ def build_submanifold_index(voxel_ids, coords_zyx, mask, grid_zyx, kernel_size):
     return idx, found & inb
 
 
+def _unique_capped(ids, capacity: int):
+    """Sorted-unique of a (possibly INVALID_ID-padded) id vector under a
+    static capacity. Returns (unique_ids (capacity,), valid_mask (capacity,));
+    overflow beyond capacity is dropped (validity-mask contract)."""
+    sids = jnp.sort(ids)
+    first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
+    first = first & (sids != INVALID_ID)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(sids != INVALID_ID, jnp.minimum(seg, capacity), capacity)
+    n_out = jnp.minimum(first.sum(), capacity)
+    out_ids = jax.ops.segment_min(
+        jnp.where(sids != INVALID_ID, sids, INVALID_ID), seg,
+        num_segments=capacity + 1, indices_are_sorted=True,
+    )[:capacity]
+    out_mask = jnp.arange(capacity) < n_out
+    return jnp.where(out_mask, out_ids, INVALID_ID), out_mask
+
+
 def build_downsample(voxel_ids, coords_zyx, mask, grid_zyx, stride_zyx,
-                     kernel_size, out_capacity: int):
+                     kernel_size, out_capacity: int,
+                     site_mode: str = "principal"):
     """Derive the strided-conv output voxel set and its gather index.
 
-    Output sites are unique(floor(in_coords / stride)) — each input voxel
-    contributes its principal output site; the gather window for output o is
-    {o*stride + k, k in [-(ks//2), ks//2]} in input coords. Returns
+    site_mode:
+      * "principal" (default): output sites = unique(floor(in_coords /
+        stride)) — each input voxel contributes its principal output site.
+        Cheapest index build; the site set the detector trains with.
+      * "union": exact spconv semantics (SparseConv3d stride s, padding
+        ks//2, backbone3d.py:190-195) — every output position whose gather
+        window touches >= 1 input voxel, i.e. the union of
+        {(u - k) / stride : k in offsets, stride | (u - k)} over inputs u.
+        Superset of "principal"; costs a sort over V_in*K candidates.
+
+    The gather window for output o is {o*stride + k, k in [-(ks//2), ks//2]}
+    in input coords either way. Returns
     (out_ids, out_coords, out_mask, idx (Vo, K), found (Vo, K), out_grid).
     """
     nz, ny, nx = grid_zyx
     sz, sy, sx = stride_zyx
     onz, ony, onx = -(-nz // sz), -(-ny // sy), -(-nx // sx)
+    st = jnp.asarray([sz, sy, sx], jnp.int32)
 
-    oc = coords_zyx // jnp.asarray([sz, sy, sx], jnp.int32)[None, :]
-    oid = (oc[:, 0] * ony + oc[:, 1]) * onx + oc[:, 2]
-    oid = jnp.where(mask, oid, INVALID_ID)
+    if site_mode == "principal":
+        oc = coords_zyx // st[None, :]
+        oid = (oc[:, 0] * ony + oc[:, 1]) * onx + oc[:, 2]
+        oid = jnp.where(mask, oid, INVALID_ID)
+    elif site_mode == "union":
+        offs = jnp.asarray(kernel_offsets_zyx(kernel_size))  # (K, 3)
+        cand = coords_zyx[:, None, :] - offs[None, :, :]     # o*s == u - k
+        div = (cand % st[None, None, :] == 0).all(-1)
+        oc = cand // st[None, None, :]
+        ok = (
+            (oc[..., 0] >= 0) & (oc[..., 0] < onz)
+            & (oc[..., 1] >= 0) & (oc[..., 1] < ony)
+            & (oc[..., 2] >= 0) & (oc[..., 2] < onx)
+        ) & div & mask[:, None]
+        oid = (oc[..., 0] * ony + oc[..., 1]) * onx + oc[..., 2]
+        oid = jnp.where(ok, oid, INVALID_ID).reshape(-1)
+    else:
+        raise ValueError(f"unknown site_mode {site_mode!r}")
 
-    sids = jnp.sort(oid)
-    first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
-    first = first & (sids != INVALID_ID)
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    seg = jnp.where(sids != INVALID_ID, jnp.minimum(seg, out_capacity), out_capacity)
-    n_out = jnp.minimum(first.sum(), out_capacity)
-    out_ids = jax.ops.segment_min(
-        jnp.where(sids != INVALID_ID, sids, INVALID_ID), seg,
-        num_segments=out_capacity + 1, indices_are_sorted=True,
-    )[:out_capacity]
-    out_mask = jnp.arange(out_capacity) < n_out
-    out_ids = jnp.where(out_mask, out_ids, INVALID_ID)
+    out_ids, out_mask = _unique_capped(oid, out_capacity)
 
     z = out_ids // (ony * onx)
     rem = out_ids - z * (ony * onx)

@@ -162,3 +162,96 @@ def test_custom_vjp_matches_autodiff():
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_new), np.asarray(gw_ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_downsample_union_sites_match_spconv_semantics():
+    """site_mode='union' must yield exactly the positions whose gather
+    window touches an input voxel (spconv SparseConv3d stride 2 pad 1)."""
+    rng = np.random.RandomState(5)
+    pts = rng.uniform(-0.9, 0.9, (120, 3)).astype(np.float32)
+    pts[:, 2] *= 0.4
+    t = _table(pts, max_voxels=256)
+    out = sparse.build_downsample(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], GRID,
+        (2, 2, 2), (3, 3, 3), out_capacity=256, site_mode="union",
+    )
+    out_ids, out_coords, out_mask, idx, found, out_grid = out
+    out_ids, out_mask = np.asarray(out_ids), np.asarray(out_mask)
+    got = set(out_ids[out_mask].tolist())
+
+    # oracle: dense occupancy, window test at every output position
+    occ = np.zeros(GRID, bool)
+    in_coords = np.asarray(t["voxel_coords"])[np.asarray(t["voxel_mask"])]
+    occ[tuple(in_coords.T)] = True
+    onz, ony, onx = out_grid
+    want = set()
+    for oz in range(onz):
+        for oy in range(ony):
+            for ox in range(onx):
+                base = np.array([oz, oy, ox]) * 2
+                for off in sparse.kernel_offsets_zyx((3, 3, 3)):
+                    u = base + off
+                    if (u >= 0).all() and (u < GRID).all() and occ[tuple(u)]:
+                        want.add((oz * ony + oy) * onx + ox)
+                        break
+    assert got == want
+    # union is a superset of principal
+    p_ids, _, p_mask, *_ = sparse.build_downsample(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], GRID,
+        (2, 2, 2), (3, 3, 3), out_capacity=256, site_mode="principal",
+    )
+    p = set(np.asarray(p_ids)[np.asarray(p_mask)].tolist())
+    assert p <= got
+
+
+def test_downsample_union_conv_matches_dense_oracle():
+    """Strided sparse conv on union sites == dense conv3d (stride 2, pad 1)
+    evaluated at the occupied outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(6)
+    pts = rng.uniform(-0.9, 0.9, (60, 3)).astype(np.float32)
+    pts[:, 2] *= 0.4
+    t = _table(pts, max_voxels=128)
+    cin, cout = 3, 4
+    feats = rng.randn(128, cin).astype(np.float32)
+    feats[~np.asarray(t["voxel_mask"])] = 0.0
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+
+    out_ids, out_coords, out_mask, idx, found, out_grid = sparse.build_downsample(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], GRID,
+        (2, 2, 2), (3, 3, 3), out_capacity=128, site_mode="union",
+    )
+    got = np.asarray(sparse.sparse_conv_apply(feats, idx, found, w))
+
+    # dense oracle
+    dense = np.zeros(GRID + (cin,), np.float32)
+    in_coords = np.asarray(t["voxel_coords"])
+    in_mask = np.asarray(t["voxel_mask"])
+    dense[tuple(in_coords[in_mask].T)] = feats[in_mask]
+    x = jnp.asarray(dense)[None]  # (1, Z, Y, X, C)
+    wd = jnp.asarray(w.reshape(3, 3, 3, cin, cout))
+    y = jax.lax.conv_general_dilated(
+        x, wd, window_strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    y = np.asarray(y)[0]
+    om = np.asarray(out_mask)
+    oc = np.asarray(out_coords)[om]
+    np.testing.assert_allclose(got[om], y[tuple(oc.T)], atol=1e-4)
+
+
+def test_downsample_union_capacity_overflow_masks():
+    """More union sites than capacity: mask stays consistent, no crash."""
+    rng = np.random.RandomState(7)
+    pts = rng.uniform(-0.9, 0.9, (200, 3)).astype(np.float32)
+    pts[:, 2] *= 0.4
+    t = _table(pts, max_voxels=256)
+    out_ids, out_coords, out_mask, idx, found, _ = sparse.build_downsample(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], GRID,
+        (2, 2, 2), (3, 3, 3), out_capacity=8, site_mode="union",
+    )
+    out_ids, out_mask, found = map(np.asarray, (out_ids, out_mask, found))
+    assert out_mask.sum() == 8  # clipped to capacity
+    assert (np.diff(out_ids[out_mask]) > 0).all()
+    assert not found[~out_mask].any()
