@@ -145,14 +145,29 @@ class Trainer:
                 buf = []
 
     def fit(self, batch_iter, total_steps: int, save_every: int = 1000,
-            hooks=()):
+            hooks=(), profile_dir=None, profile_range=(10, 20)):
+        """profile_dir: when set, captures a jax.profiler trace (TensorBoard
+        XPlane) of steps in [profile_range) — first-class tracing the
+        reference never had (SURVEY §5)."""
         t0 = time.time()
         window = []
+        profiling = False
         if self.steps_per_call > 1:
             batch_iter = self._stacked(batch_iter)
         for batch in batch_iter:
+            cur = int(self.state["step"])
+            if profile_dir and not profiling and cur >= profile_range[0] \
+                    and cur < profile_range[1]:
+                jax.profiler.start_trace(str(profile_dir))
+                profiling = True
             loss, aux, gnorm = self.step(batch, pre_sharded=self.steps_per_call > 1)
             step = int(self.state["step"])
+            if profiling and step >= profile_range[1]:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
+                if self.logger:
+                    self.logger.info(f"profiler trace written to {profile_dir}")
             window.append(float(loss))
             if step % self.log_every < self.steps_per_call:
                 dt = (time.time() - t0) / max(len(window), 1)
@@ -172,6 +187,8 @@ class Trainer:
                 h(self, step)
             if step >= total_steps:
                 break
+        if profiling:
+            jax.profiler.stop_trace()
         if self.ckpt:
             self.ckpt.save(int(self.state["step"]), jax.device_get(self.state))
         return self.state

@@ -301,13 +301,9 @@ def evaluate_detection(preds, gts, class_names=("Vehicle", "Pedestrian",
 
 
 # ----------------------------------------------------------------------
-def evaluate_tracking(pred_frames, gt_frames, iou_thresh=0.5):
-    """CLEAR-MOT over one sequence.
-
-    pred_frames: list of {'boxes' (N,7), 'obj_ids' (N,)};
-    gt_frames: list of {'boxes' (M,7), 'obj_ids' (M,)}.
-    Returns dict(MOTA, MOTP, miss, mismatch, fp, num_gt).
-    """
+def _clear_mot_counters(pred_frames, gt_frames, iou_thresh):
+    """Raw CLEAR-MOT counters over one sequence (summable across
+    sequences)."""
     misses = fps = mismatches = matches = 0
     iou_sum = 0.0
     num_gt = 0
@@ -329,11 +325,69 @@ def evaluate_tracking(pred_frames, gt_frames, iou_thresh=0.5):
             if gid in last_match and last_match[gid] != pid:
                 mismatches += 1
             last_match[gid] = pid
-    mota = 1.0 - (misses + fps + mismatches) / max(num_gt, 1)
-    motp = iou_sum / max(matches, 1)
-    return {"MOTA": mota, "MOTP": motp, "miss": misses / max(num_gt, 1),
-            "mismatch": mismatches / max(num_gt, 1),
-            "fp": fps / max(num_gt, 1), "num_gt": num_gt}
+    return {"misses": misses, "fps": fps, "mismatches": mismatches,
+            "matches": matches, "iou_sum": iou_sum, "num_gt": num_gt}
+
+
+def _clear_mot_metrics(c):
+    mota = 1.0 - (c["misses"] + c["fps"] + c["mismatches"]) / max(c["num_gt"], 1)
+    motp = c["iou_sum"] / max(c["matches"], 1)
+    return {"MOTA": mota, "MOTP": motp,
+            "miss": c["misses"] / max(c["num_gt"], 1),
+            "mismatch": c["mismatches"] / max(c["num_gt"], 1),
+            "fp": c["fps"] / max(c["num_gt"], 1), "num_gt": c["num_gt"]}
+
+
+def evaluate_tracking(pred_frames, gt_frames, iou_thresh=0.5):
+    """CLEAR-MOT over one sequence.
+
+    pred_frames: list of {'boxes' (N,7), 'obj_ids' (N,)};
+    gt_frames: list of {'boxes' (M,7), 'obj_ids' (M,)}.
+    Returns dict(MOTA, MOTP, miss, mismatch, fp, num_gt).
+    """
+    return _clear_mot_metrics(
+        _clear_mot_counters(pred_frames, gt_frames, iou_thresh))
+
+
+def evaluate_tracking_by_class(sequences, class_names=("Vehicle",
+                                                       "Pedestrian",
+                                                       "Cyclist"),
+                               iou_thresholds=None):
+    """Per-OBJECT_TYPE CLEAR-MOT aggregated over sequences — the quantities
+    waymo_eval_tracking.py reports (MOTA/MOTP/MISS/MISMATCH/FP per class).
+
+    sequences: list of (pred_frames, gt_frames) pairs where frames carry an
+    additional 'name' (N,) str array next to 'boxes'/'obj_ids'.
+    Matching IoU per class follows the detection thresholds (0.7/0.5/0.5).
+    """
+    iou_thresholds = iou_thresholds or DEFAULT_IOU
+    results = {}
+    for cls in class_names:
+        agg = {"misses": 0, "fps": 0, "mismatches": 0, "matches": 0,
+               "iou_sum": 0.0, "num_gt": 0}
+        for pred_frames, gt_frames in sequences:
+            def _filt(frames):
+                out = []
+                for fr in frames:
+                    names = np.asarray(fr.get("name", []))
+                    m = names == cls if len(names) else np.zeros(
+                        len(np.asarray(fr["boxes"]).reshape(-1, 7)), bool)
+                    out.append({
+                        "boxes": np.asarray(fr["boxes"],
+                                            float).reshape(-1, 7)[m],
+                        "obj_ids": np.asarray(fr["obj_ids"])[m],
+                    })
+                return out
+            c = _clear_mot_counters(_filt(pred_frames), _filt(gt_frames),
+                                    iou_thresholds.get(cls, 0.5))
+            for k in agg:
+                agg[k] += c[k]
+        results[cls] = _clear_mot_metrics(agg)
+    results["mean"] = {
+        k: float(np.mean([results[c][k] for c in class_names]))
+        for k in ("MOTA", "MOTP", "miss", "mismatch", "fp")
+    }
+    return results
 
 
 def format_results_table(results):

@@ -42,7 +42,10 @@ class OffboardPipeline:
                  grm=None, prm=None, crm=None, size_anchors=None):
         """grm/prm/crm: optional (model, params, sampler_cfg) triples; stages
         without a model pass boxes through unchanged."""
+        from detzero_tpu.core.profiling import StageTimer
+
         self.tracker = DetZeroTracker(track_cfg or {})
+        self.timer = StageTimer()  # per-stage wall clock (SURVEY §5 tracing)
         self.class_names = list(class_names)
         self.grm = grm
         self.prm = prm
@@ -103,19 +106,24 @@ class OffboardPipeline:
                      gt_ids=None):
         """Full stages 2-5 for one sequence. Returns final frame-level boxes
         (global frame) + intermediate artifacts."""
-        tr = self.track(det_frames)
-        objs = self.prepare_objects(tr, frame_points, poses,
-                                    gt_boxes=gt_boxes, gt_ids=gt_ids)
-        grm_sizes, prm_centers, prm_headings, crm_scores = self.refine(objs)
-        frames = daemon.combine_output(
-            objs,
-            grm_sizes=grm_sizes or None,
-            prm_centers=prm_centers or None,
-            prm_headings=prm_headings or None,
-            crm_scores=crm_scores or None,
-            drop_data=tr["drop"], num_frames=len(det_frames),
-        )
-        return {"frames": frames, "tracks": tr, "objects": objs}
+        with self.timer("track"):
+            tr = self.track(det_frames)
+        with self.timer("prepare_objects"):
+            objs = self.prepare_objects(tr, frame_points, poses,
+                                        gt_boxes=gt_boxes, gt_ids=gt_ids)
+        with self.timer("refine"):
+            grm_sizes, prm_centers, prm_headings, crm_scores = self.refine(objs)
+        with self.timer("combine"):
+            frames = daemon.combine_output(
+                objs,
+                grm_sizes=grm_sizes or None,
+                prm_centers=prm_centers or None,
+                prm_headings=prm_headings or None,
+                crm_scores=crm_scores or None,
+                drop_data=tr["drop"], num_frames=len(det_frames),
+            )
+        return {"frames": frames, "tracks": tr, "objects": objs,
+                "timings": self.timer.as_dict()}
 
     # ------------------------------------------------------------------
     @staticmethod

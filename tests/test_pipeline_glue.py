@@ -272,3 +272,29 @@ def test_evaluator_waymo101_l1_excludes_hard_gt_and_range_breakdown():
     assert v["AP_L2"] < 1.0
     assert v["AP_[0,30)"] == pytest.approx(1.0, abs=1e-6)  # near GT found
     assert v["AP_[30,50)"] == 0.0  # far (hard) GT missed
+
+
+def test_tracking_metrics_by_class():
+    rng = np.random.RandomState(9)
+    gt_frames, pred_frames = [], []
+    vbox = np.array([5.0, 0, 0, 4.5, 2.0, 1.6, 0.0])
+    pbox = np.array([-8.0, 3, 0, 0.9, 0.9, 1.8, 0.5])
+    for f in range(10):
+        v = vbox.copy(); v[0] += f * 0.8
+        p = pbox.copy(); p[1] += f * 0.3
+        gt_frames.append({"boxes": np.stack([v, p]),
+                          "obj_ids": np.array([1, 2]),
+                          "name": np.array(["Vehicle", "Pedestrian"])})
+        # vehicle tracked perfectly; pedestrian id switches mid-track
+        pid = 20 if f < 5 else 21
+        pred_frames.append({"boxes": np.stack([v, p]),
+                            "obj_ids": np.array([10, pid]),
+                            "name": np.array(["Vehicle", "Pedestrian"])})
+    res = evaluator.evaluate_tracking_by_class(
+        [(pred_frames, gt_frames)],
+        class_names=("Vehicle", "Pedestrian"))
+    assert res["Vehicle"]["MOTA"] == pytest.approx(1.0)
+    assert res["Vehicle"]["mismatch"] == 0.0
+    assert res["Pedestrian"]["mismatch"] == pytest.approx(0.1)  # 1 of 10
+    assert res["Pedestrian"]["MOTA"] == pytest.approx(0.9)
+    assert res["mean"]["MOTA"] == pytest.approx(0.95)

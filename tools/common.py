@@ -21,6 +21,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ckpt", default=None)
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--output_dir", default="output")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of a few train steps "
+                        "into this dir (TensorBoard XPlane)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a jax platform (the image's sitecustomize "
                         "pins 'axon'; pass cpu for data-free smoke runs)")

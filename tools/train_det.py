@@ -75,7 +75,8 @@ def main():
             ep += 1
 
     trainer.fit(batches(), total_steps,
-                save_every=int(opt_cfg.get("SAVE_EVERY", steps_per_epoch)))
+                save_every=int(opt_cfg.get("SAVE_EVERY", steps_per_epoch)),
+                profile_dir=args.profile_dir)
     logger.info("training done")
 
 

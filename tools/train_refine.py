@@ -146,7 +146,8 @@ def main():
             ep += 1
 
     trainer.fit(batches(), total_steps,
-                save_every=int(opt_cfg.get("SAVE_EVERY", 500)))
+                save_every=int(opt_cfg.get("SAVE_EVERY", 500)),
+                profile_dir=args.profile_dir)
     logger.info("refining training done")
 
 
