@@ -76,7 +76,17 @@ class RefineDatasetBase:
             root = Path(root_path or dataset_cfg.get("DATA_PATH",
                                                      "data/waymo/refining"))
             cls_dir = root / class_name
-            if cls_dir.exists():
+            caches = sorted(cls_dir.glob("*.dzrc")) if cls_dir.exists() else []
+            if caches:
+                # mmap-backed lazy records (data/record_cache.py): pickles
+                # stay the inter-stage artifact, the cache is the training
+                # layout — host RSS no longer scales with dataset size
+                from detzero_tpu.data.record_cache import (
+                    RecordCache, RecordListView,
+                )
+                self.records = RecordListView([RecordCache(p)
+                                               for p in caches])
+            elif cls_dir.exists():
                 for p in sorted(cls_dir.glob("*.pkl")):
                     with open(p, "rb") as f:
                         seq = pickle.load(f)

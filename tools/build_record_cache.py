@@ -1,0 +1,55 @@
+"""Convert daemon per-sequence object pickles into mmap record caches.
+
+Pickles stay the inter-stage artifact (reference-compatible schema); the
+.dzrc cache is the training-time layout — refining datasets pick it up
+automatically when present (data/refine_dataset.py) and stop loading the
+whole class into RAM (the reference's load_track_infos behavior,
+refining/detzero_refine/datasets/dataset.py:64).
+
+Usage:
+    python tools/build_record_cache.py --object_root data/waymo/refining \
+        [--classes Vehicle Pedestrian Cyclist] [--delete_pickles]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    from detzero_tpu.data.record_cache import RecordCache, write_record_cache
+
+    ap = argparse.ArgumentParser("pickle -> dzrc record cache")
+    ap.add_argument("--object_root", required=True)
+    ap.add_argument("--classes", nargs="+",
+                    default=["Vehicle", "Pedestrian", "Cyclist"])
+    ap.add_argument("--delete_pickles", action="store_true",
+                    help="remove source pickles after a verified conversion")
+    args = ap.parse_args()
+
+    for cls in args.classes:
+        cls_dir = Path(args.object_root) / cls
+        if not cls_dir.exists():
+            print(f"{cls}: no directory, skipped")
+            continue
+        n_total = 0
+        for p in sorted(cls_dir.glob("*.pkl")):
+            with open(p, "rb") as f:
+                seq = pickle.load(f)
+            out = p.with_suffix(".dzrc")
+            write_record_cache(out, seq)
+            back = RecordCache(out)
+            assert len(back) == len(seq), (p, len(back), len(seq))
+            n_total += len(seq)
+            if args.delete_pickles:
+                p.unlink()
+        print(f"{cls}: {n_total} records cached")
+
+
+if __name__ == "__main__":
+    main()
