@@ -33,9 +33,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def apply_platform(args):
+    import jax
+
     if getattr(args, "platform", None):
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # persistent compilation cache: full-model TPU compiles go through a
+    # slow remote-compile service (~minutes); restarts/auto-resume must not
+    # pay it again (bench.py uses the same cache dir)
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def load_config(args) -> Config:
