@@ -27,6 +27,11 @@ def main():
                       str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+    if os.environ.get("BENCH_TINY", "0") == "1":
+        # force CPU BEFORE touching jax.devices(): the image's sitecustomize
+        # pins the axon TPU backend, and a second TPU process would block on
+        # the tunnel (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     tiny = os.environ.get("BENCH_TINY", "0") == "1" or jax.devices()[0].platform == "cpu"
     os.environ["GRAFT_TINY"] = "1" if tiny else "0"
     import __graft_entry__ as g
