@@ -42,11 +42,12 @@ def main():
 
     fn, (variables, pts, pv) = g.entry()
 
-    # scan fusion: one dispatched call runs `scan_len` model steps via
-    # lax.scan — amortizes the per-call tunnel/dispatch overhead that
-    # otherwise dominates wall-clock on this remote-TPU setup (device
-    # compute is ~1 ms/frame; per-call overhead measured at several ms)
-    scan_len = int(os.environ.get("BENCH_SCAN", "1" if tiny else "8"))
+    # optional scan fusion (BENCH_SCAN>1): one dispatched call runs k model
+    # steps via lax.scan. Default OFF: measured infra throughput is higher
+    # with many independent in-flight calls (the tunnel scheduler pipelines
+    # them; fusing into one serial scan forfeits that overlap — b=1 measured
+    # 800 f/s pipelined vs ~210 in a degraded window, same graph)
+    scan_len = int(os.environ.get("BENCH_SCAN", "1"))
     if scan_len > 1:
         import jax.numpy as jnp
         from jax import lax
