@@ -125,7 +125,8 @@ class WaymoDetectionDataset(DatasetTemplate):
                 "num_points": np.asarray(annos.get("num_points_in_gt",
                                                    np.zeros(0))),
             })
-        res = evaluate_detection(det_annos, gts, class_names=tuple(class_names))
+        res = evaluate_detection(det_annos, gts, class_names=tuple(class_names),
+                                 ap_mode=kwargs.get("ap_mode", "envelope"))
         return format_results_table(res), res
 
 
@@ -214,7 +215,8 @@ class SyntheticWaymoDataset(DatasetTemplate):
             _, gt_boxes, gt_names = self.generate_scene(idx)
             gts.append({"gt_boxes": gt_boxes, "name": gt_names,
                         "num_points": np.full(len(gt_boxes), 120)})
-        res = evaluate_detection(det_annos, gts, class_names=tuple(class_names))
+        res = evaluate_detection(det_annos, gts, class_names=tuple(class_names),
+                                 ap_mode=kwargs.get("ap_mode", "envelope"))
         return format_results_table(res), res
 
 

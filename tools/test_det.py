@@ -23,6 +23,9 @@ def main():
                         help="poll the ckpt dir and evaluate every new "
                              "checkpoint (reference repeat_eval_ckpt)")
     parser.add_argument("--max_waiting_mins", type=float, default=30.0)
+    parser.add_argument("--ap_mode", default="envelope",
+                        choices=["envelope", "waymo101"],
+                        help="waymo101 = exact 101-score-cutoff protocol")
     args = parser.parse_args()
     apply_platform(args)
     cfg = load_config(args)
@@ -83,7 +86,8 @@ def main():
             with open(out, "wb") as f:
                 pickle.dump(det_annos, f)
             logger.info(f"saved {len(det_annos)} frames to {out}")
-        table, res = dataset.evaluation(det_annos, cfg.get("CLASS_NAMES", []))
+        table, res = dataset.evaluation(det_annos, cfg.get("CLASS_NAMES", []),
+                                        ap_mode=args.ap_mode)
         logger.info("\n" + str(table))
         return res
 
