@@ -54,6 +54,11 @@ def main():
                    choices=["envelope", "waymo101"],
                    help="waymo101 = reference TF op protocol: PR sampled at "
                         "101 fixed score cutoffs, re-matched per cutoff")
+    p.add_argument("--metric", default="detection",
+                   choices=["detection", "tracking"],
+                   help="tracking = per-class CLEAR-MOT "
+                        "(waymo_eval_tracking.py quantities); pred/gt "
+                        "pickles must carry per-frame obj_ids")
     args = p.parse_args()
     logger = create_logger()
 
@@ -61,6 +66,21 @@ def main():
         preds_raw = pickle.load(f)
     with open(args.gt_path, "rb") as f:
         gts_raw = pickle.load(f)
+
+    if args.metric == "tracking":
+        # {seq: [ {'boxes','obj_ids','name'} per frame ]} on both sides
+        from detzero_tpu.pipeline.evaluator import evaluate_tracking_by_class
+        seqs = []
+        for seq in sorted(preds_raw):
+            if seq not in gts_raw:
+                continue
+            seqs.append((preds_raw[seq], gts_raw[seq]))
+        res = evaluate_tracking_by_class(seqs,
+                                         class_names=tuple(args.class_names))
+        logger.info("\n" + format_results_table(
+            {c: {k: v for k, v in m.items() if k != "num_gt"}
+             for c, m in res.items()}))
+        return
 
     if isinstance(preds_raw, dict):  # final_frames format
         preds, keys = frames_from_final(preds_raw, args.class_names)
