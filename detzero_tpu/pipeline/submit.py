@@ -1,8 +1,11 @@
 """Waymo leaderboard submission writer (reference evaluator/waymo_submit.py):
 predictions -> metrics_pb2.Objects .bin keyed by context_name +
-frame_timestamp_micros with uuid track ids. Lazy-gated on waymo_open_dataset;
-without it, falls back to a portable pickle with the identical field layout
-(convertible to .bin on a host that has the proto)."""
+frame_timestamp_micros with uuid track ids.
+
+Proto resolution order: waymo_open_dataset (if installed) -> the vendored
+minimal protos in detzero_tpu/protos (wire-compatible field numbers from
+the public schema, compiled with protoc) -> portable pickle with the
+identical field layout as a last resort."""
 
 from __future__ import annotations
 
@@ -49,11 +52,14 @@ def write_submission(records, out_path, account="", method="detzero_tpu",
     try:
         from waymo_open_dataset.protos import metrics_pb2
     except ImportError:
-        alt = Path(out_path).with_suffix(".pkl")
-        with open(alt, "wb") as f:
-            pickle.dump({"records": records, "account": account,
-                         "method": method, "tracking": tracking}, f)
-        return alt
+        try:
+            from detzero_tpu.protos import waymo_metrics_pb2 as metrics_pb2
+        except Exception:
+            alt = Path(out_path).with_suffix(".pkl")
+            with open(alt, "wb") as f:
+                pickle.dump({"records": records, "account": account,
+                             "method": method, "tracking": tracking}, f)
+            return alt
     objs = metrics_pb2.Objects()
     for r in records:
         o = objs.objects.add()

@@ -298,3 +298,26 @@ def test_tracking_metrics_by_class():
     assert res["Pedestrian"]["mismatch"] == pytest.approx(0.1)  # 1 of 10
     assert res["Pedestrian"]["MOTA"] == pytest.approx(0.9)
     assert res["mean"]["MOTA"] == pytest.approx(0.95)
+
+
+def test_submission_writes_real_proto_bin(tmp_path):
+    from detzero_tpu.pipeline import submit
+    from detzero_tpu.protos import waymo_metrics_pb2 as m
+
+    preds = [{"boxes_lidar": np.array([[1., 2., 0.5, 4.5, 2.0, 1.6, 0.3]]),
+              "score": np.array([0.88]), "name": np.array(["Vehicle"]),
+              "obj_ids": np.array(["trk7"])}]
+    meta = [{"context_name": "ctx-1", "frame_timestamp_micros": 1234567}]
+    recs = submit.build_submission_records(preds, meta, tracking=True)
+    out = submit.write_submission(recs, tmp_path / "sub.bin", tracking=True)
+    assert out.suffix == ".bin"
+    objs = m.Objects()
+    objs.ParseFromString(out.read_bytes())
+    o = objs.objects[0]
+    assert o.context_name == "ctx-1"
+    assert o.frame_timestamp_micros == 1234567
+    assert o.object.type == 1  # TYPE_VEHICLE
+    assert o.object.id == "trk7"
+    assert abs(o.object.box.length - 4.5) < 1e-6
+    assert abs(o.object.box.heading - 0.3) < 1e-6
+    assert abs(o.score - 0.88) < 1e-6
