@@ -255,3 +255,40 @@ def test_downsample_union_capacity_overflow_masks():
     assert out_mask.sum() == 8  # clipped to capacity
     assert (np.diff(out_ids[out_mask]) > 0).all()
     assert not found[~out_mask].any()
+
+
+def test_custom_vjp_matches_autodiff_union_sites():
+    """Transpose-rulebook backward stays exact when the output set is the
+    spconv candidate union (out sites with no principal input voxel)."""
+    import jax
+
+    rng = np.random.RandomState(8)
+    pts = rng.uniform(-0.9, 0.9, (150, 3)).astype(np.float32)
+    pts[:, 2] *= 0.4
+    t = _table(pts, max_voxels=128)
+    feats = rng.randn(128, 8).astype(np.float32)
+    w = rng.randn(27, 8, 16).astype(np.float32) * 0.1
+    g_out = rng.randn(128, 16).astype(np.float32)
+
+    out_ids, out_coords, out_mask, idx, found, out_grid = sparse.build_downsample(
+        t["voxel_ids"], t["voxel_coords"], t["voxel_mask"], GRID,
+        (2, 2, 2), (3, 3, 3), out_capacity=128, site_mode="union",
+    )
+    idx_t, found_t = sparse.build_transpose_index(
+        out_ids, t["voxel_coords"], t["voxel_mask"], (2, 2, 2), (3, 3, 3),
+        out_grid,
+    )
+
+    def f_ref(feats, w):
+        return (sparse.sparse_conv_apply(feats, idx, found, w) * g_out).sum()
+
+    def f_vjp(feats, w):
+        return (sparse.sparse_conv_apply_vjp(feats, w, idx, found, idx_t,
+                                             found_t) * g_out).sum()
+
+    gx_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(feats, w)
+    gx_new, gw_new = jax.grad(f_vjp, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_new), np.asarray(gw_ref),
+                               atol=1e-3, rtol=1e-3)
