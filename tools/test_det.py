@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--ap_mode", default="envelope",
                         choices=["envelope", "waymo101"],
                         help="waymo101 = exact 101-score-cutoff protocol")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard eval batches over all local devices "
+                             "(reference DistributedSampler eval, "
+                             "datasets/__init__.py:16-36); global batch = "
+                             "BATCH_SIZE_PER_DEVICE * device_count")
     args = parser.parse_args()
     apply_platform(args)
     cfg = load_config(args)
@@ -42,6 +47,16 @@ def main():
     model = build_detector(cfg)
     batch_size = 1 if cfg.get("TTA", False) else \
         int(cfg.get("OPTIMIZATION", {}).get("BATCH_SIZE_PER_DEVICE", 1))
+    dp_sharding = None
+    if args.data_parallel and jax.device_count() > 1 and not cfg.get("TTA",
+                                                                     False):
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(_np.asarray(jax.devices()), ("data",))
+        dp_sharding = NamedSharding(mesh, P("data"))
+        batch_size *= jax.device_count()
+        logger.info(f"data-parallel eval over {jax.device_count()} devices, "
+                    f"global batch {batch_size}")
     loader = build_dataloader(dataset, batch_size, shuffle=False,
                               num_workers=args.workers, drop_last=False)
 
@@ -64,7 +79,20 @@ def main():
         for bi, batch in enumerate(loader(0)):
             if args.max_batches is not None and bi >= args.max_batches:
                 break
-            preds = predict(variables, batch["points"], batch["points_valid"])
+            pts_b, pv_b = batch["points"], batch["points_valid"]
+            if dp_sharding is not None:
+                if pts_b.shape[0] % jax.device_count():  # pad the tail batch
+                    pad = -pts_b.shape[0] % jax.device_count()
+                    pts_b = np.concatenate([pts_b, np.repeat(
+                        pts_b[-1:], pad, axis=0)])
+                    pv_b = np.concatenate([pv_b, np.zeros(
+                        (pad,) + pv_b.shape[1:], bool)])
+                pts_b = jax.device_put(pts_b, dp_sharding)
+                pv_b = jax.device_put(pv_b, dp_sharding)
+            preds = predict(variables, pts_b, pv_b)
+            if dp_sharding is not None:
+                preds = jax.tree.map(
+                    lambda x: np.asarray(x)[: len(batch["points"])], preds)
             dicts = dataset.generate_prediction_dicts(batch, preds)
             if cfg.get("TTA", False):
                 names, boxes, scores = [], [], []
