@@ -143,3 +143,43 @@ def three_interpolate(features, idx, dist):
     w = 1.0 / jnp.maximum(dist, 1e-8)
     w = w / w.sum(axis=1, keepdims=True)
     return (features[idx] * w[..., None]).sum(axis=1)
+
+
+def vector_pool(centers, points, points_valid, features, radius: float,
+                grid=(2, 2, 2), nsample: int = 32):
+    """Local vector pooling (reference pointnet2_stack vector_pool_wrapper,
+    pointnet2_utils.py:467; PV-RCNN++ VectorPoolAggregation — present in the
+    reference's compiled op surface, off DetZero's main path).
+
+    For each center, in-radius neighbors are binned into a (gz, gy, gx)
+    local grid spanning the [-radius, radius]^3 cube; features are MEAN
+    pooled per cell and concatenated with the cell's mean relative offset.
+
+    centers (M, 3); points (N, 3); points_valid (N,); features (N, C).
+    Returns (pooled (M, G, C + 3), counts (M, G)) with G = gz*gy*gx —
+    a fixed "vector" of per-subvoxel descriptors per center, zero where a
+    cell is empty. One one-hot (nsample x G) matmul per center does the
+    binning — MXU-friendly, no scatters.
+    """
+    gz, gy, gx = grid
+    g = gz * gy * gx
+    idx, cnt = ball_query(centers, points, points_valid, radius, nsample)
+    nb = points[idx]  # (M, S, 3)
+    valid = jnp.arange(nsample)[None, :] < cnt[:, None]  # (M, S)
+    rel = nb - centers[:, None, :]
+    # bin into the local grid (clip handles boundary fp wobble)
+    cell = jnp.floor((rel + radius) / (2 * radius) *
+                     jnp.asarray([gx, gy, gz], rel.dtype)).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, jnp.asarray([gx - 1, gy - 1, gz - 1]))
+    cid = (cell[..., 2] * gy + cell[..., 1]) * gx + cell[..., 0]  # (M, S)
+    onehot = jax.nn.one_hot(jnp.where(valid, cid, g), g, axis=-1,
+                            dtype=features.dtype)  # (M, S, G)
+    counts = onehot.sum(axis=1)  # (M, G)
+    denom = jnp.maximum(counts, 1.0)
+    fg = group_points(features, idx, valid)  # (M, S, C)
+    pooled_f = jnp.einsum("msg,msc->mgc", onehot, fg) / denom[..., None]
+    pooled_xyz = jnp.einsum("msg,msc->mgc", onehot,
+                            jnp.where(valid[..., None], rel, 0.0)) \
+        / denom[..., None]
+    pooled = jnp.concatenate([pooled_xyz, pooled_f], axis=-1)
+    return pooled, counts.astype(jnp.int32)

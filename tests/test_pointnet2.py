@@ -73,3 +73,56 @@ def test_group_points_zeroes_missing():
     g = np.asarray(pn2.group_points(feats, idx, found))
     np.testing.assert_allclose(g[0, 0], feats[0])
     np.testing.assert_allclose(g[0, 1], 0)
+
+
+def test_vector_pool_matches_numpy_oracle():
+    from detzero_tpu.ops.pointnet2 import vector_pool
+
+    rng = np.random.RandomState(0)
+    centers = rng.uniform(-1, 1, (4, 3)).astype(np.float32)
+    points = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+    valid = np.ones(64, bool)
+    valid[50:] = False
+    feats = rng.randn(64, 5).astype(np.float32)
+    radius, grid, nsample = 0.8, (2, 2, 2), 48
+
+    pooled, counts = vector_pool(centers, points, valid, feats, radius,
+                                 grid, nsample)
+    pooled, counts = np.asarray(pooled), np.asarray(counts)
+    assert pooled.shape == (4, 8, 8) and counts.shape == (4, 8)
+
+    gx = gy = gz = 2
+    for m in range(4):
+        rel = points - centers[m]
+        hit = (np.sum(rel ** 2, 1) < radius ** 2) & valid
+        order = np.flatnonzero(hit)[:nsample]  # first-nsample semantics
+        want_cnt = np.zeros(8)
+        want_xyz = np.zeros((8, 3))
+        want_f = np.zeros((8, 5))
+        for i in order:
+            c = np.floor((rel[i] + radius) / (2 * radius) *
+                         np.array([gx, gy, gz])).astype(int)
+            c = np.clip(c, 0, [gx - 1, gy - 1, gz - 1])
+            cid = (c[2] * gy + c[1]) * gx + c[0]
+            want_cnt[cid] += 1
+            want_xyz[cid] += rel[i]
+            want_f[cid] += feats[i]
+        nz = want_cnt > 0
+        want_xyz[nz] /= want_cnt[nz, None]
+        want_f[nz] /= want_cnt[nz, None]
+        np.testing.assert_array_equal(counts[m], want_cnt)
+        np.testing.assert_allclose(pooled[m, :, :3], want_xyz, atol=1e-5)
+        np.testing.assert_allclose(pooled[m, :, 3:], want_f, atol=1e-5)
+
+
+def test_vector_pool_all_invalid_points():
+    from detzero_tpu.ops.pointnet2 import vector_pool
+
+    rng = np.random.RandomState(1)
+    centers = rng.uniform(-1, 1, (2, 3)).astype(np.float32)
+    points = rng.uniform(-1, 1, (16, 3)).astype(np.float32)
+    feats = rng.randn(16, 4).astype(np.float32)
+    pooled, counts = vector_pool(centers, points, np.zeros(16, bool), feats,
+                                 0.5, (2, 2, 2), 8)
+    assert np.asarray(counts).sum() == 0
+    assert np.isfinite(np.asarray(pooled)).all()
