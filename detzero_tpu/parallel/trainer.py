@@ -32,7 +32,7 @@ class Trainer:
 
     def __init__(self, loss_fn, optimizer, ckpt_dir=None, logger=None,
                  mesh=None, max_ckpt=5, log_every=50, tb_dir=None,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1, prefetch: int = 2):
         self.loss_fn = loss_fn
         self.tx = optimizer
         self.logger = logger
@@ -46,6 +46,10 @@ class Trainer:
         # dispatches (essential when the device sits behind a high-latency
         # tunnel, and generally good TPU practice)
         self.steps_per_call = int(steps_per_call)
+        # host-side batch assembly (augment, voxelize budget padding, stack,
+        # device_put) runs in a worker thread `prefetch` batches ahead, so it
+        # overlaps device compute (input-pipeline overlap; 0 disables)
+        self.prefetch = int(prefetch)
         self.tb = None
         if tb_dir:
             try:
@@ -154,13 +158,17 @@ class Trainer:
         profiling = False
         if self.steps_per_call > 1:
             batch_iter = self._stacked(batch_iter)
+        else:
+            batch_iter = (self._shard_batch(b) for b in batch_iter)
+        if self.prefetch > 0:
+            batch_iter = _prefetch_iter(batch_iter, self.prefetch)
         for batch in batch_iter:
             cur = int(self.state["step"])
             if profile_dir and not profiling and cur >= profile_range[0] \
                     and cur < profile_range[1]:
                 jax.profiler.start_trace(str(profile_dir))
                 profiling = True
-            loss, aux, gnorm = self.step(batch, pre_sharded=self.steps_per_call > 1)
+            loss, aux, gnorm = self.step(batch, pre_sharded=True)
             step = int(self.state["step"])
             if profiling and step >= profile_range[1]:
                 jax.block_until_ready(loss)
@@ -200,6 +208,35 @@ class Trainer:
         if self.tb:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, v, step)
+
+
+def _prefetch_iter(it, depth: int):
+    """Run `it` in a daemon worker thread, `depth` items ahead — overlaps
+    host batch assembly with device compute. The thread is a daemon and the
+    queue is bounded, so an early consumer break simply strands it until
+    process exit (no join needed)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+
+    def worker():
+        exc = None
+        try:
+            for item in it:
+                q.put(("item", item))
+        except BaseException as e:  # propagate into the consumer
+            exc = e
+        q.put(("end", exc))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        kind, payload = q.get()
+        if kind == "end":
+            if payload is not None:
+                raise payload
+            return
+        yield payload
 
 
 def eval_gather(per_host_results):

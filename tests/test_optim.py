@@ -60,3 +60,39 @@ def test_trainer_multi_step_scan():
         assert int(tr.state["step"]) == 16
         np.testing.assert_allclose(np.asarray(tr.state["params"]["w"]),
                                    np.asarray(w_true), atol=0.2)
+
+
+def test_trainer_prefetch_equivalence():
+    """Prefetched fit must produce identical state to prefetch=0 given the
+    same batch stream; iterator exceptions must propagate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import pytest
+
+    from detzero_tpu.parallel.trainer import Trainer, _prefetch_iter
+
+    def loss_fn(variables, batch):
+        p = variables["params"]["w"]
+        loss = jnp.mean((batch["x"] @ p - batch["y"]) ** 2)
+        return loss, ({"l": loss}, {})
+
+    rng = np.random.RandomState(0)
+    batches = [{"x": rng.randn(8, 3).astype(np.float32),
+                "y": rng.randn(8).astype(np.float32)} for _ in range(6)]
+    finals = []
+    for pf in (0, 2):
+        tr = Trainer(loss_fn, optax.sgd(0.1), prefetch=pf, log_every=1000)
+        tr.init_state({"params": {"w": np.zeros(3, np.float32)}})
+        tr.fit(iter([dict(b) for b in batches]), total_steps=6,
+               save_every=10**9)
+        finals.append(np.asarray(tr.state["params"]["w"]))
+    np.testing.assert_allclose(finals[0], finals[1], atol=1e-7)
+
+    def bad():
+        yield batches[0]
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(_prefetch_iter(bad(), 2))
