@@ -1,11 +1,22 @@
 """Benchmark: flagship CenterPoint inference at Waymo scale, frames/sec/chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+
+Methodology (VERDICT r1 #2 — the number must be device throughput, not infra
+overlap): the PRIMARY value comes from ONE dispatched executable that runs
+BENCH_SCAN model steps serially via lax.scan. Scan iterations execute
+sequentially on the chip by construction, so the remote scheduler cannot
+overlap them across infra — wall time / frames is a true per-chip rate. The
+independent-dispatch rate (which the tunnel's scheduler can pipeline; round-1
+measured up to 1088 f/s for a ~330 GFLOP/frame graph, >peak) is reported
+separately as "pipelined_fps", never as the headline.
+
+Sanity: mfu = flops_per_frame * fps / device_peak_flops must be <= 1.0 or the
+bench refuses to print (hard assert).
 
 vs_baseline: the reference publishes no throughput (SURVEY §6); we use an
 estimated 20 frames/sec for single-model (no-TTA) CenterPoint-Res inference on
-one A100 as the denominator (typical OpenPCDet-class numbers; to be replaced
-by a measured value when reference hardware is available — BASELINE.md).
+one A100 as the denominator (typical OpenPCDet-class numbers — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -17,6 +28,38 @@ import time
 import numpy as np
 
 A100_EST_FPS = 20.0
+FALLBACK_FLOPS_PER_FRAME = 330e9  # analytic estimate (CLAUDE.md), used when
+# XLA cost analysis is unavailable on the backend
+
+# bf16 peak FLOP/s per chip by TPU generation (public spec sheets)
+PEAK_FLOPS = {
+    "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12, "v4": 275e12, "v6e": 918e12, "trillium": 918e12,
+    "cpu": 1e12,  # loose upper bound for the tiny CPU path
+}
+
+
+def _device_peak(dev) -> float:
+    kind = getattr(dev, "device_kind", "") or dev.platform
+    kind = kind.lower()
+    for k, v in PEAK_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12 if dev.platform == "tpu" else 1e12
+
+
+def _flops_per_frame(step, args, batch: int, scan_len: int):
+    """XLA's own FLOP count for the compiled executable, per frame."""
+    try:
+        cost = step.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            return flops / (batch * scan_len), "xla_cost_analysis"
+    except Exception:
+        pass
+    return FALLBACK_FLOPS_PER_FRAME, "analytic_estimate"
 
 
 def main():
@@ -38,52 +81,73 @@ def main():
         # batch 2 measured ~9% faster per frame than batch 1 on v5e (better
         # MXU utilization in the dense BEV stack); override with GRAFT_BATCH
         os.environ.setdefault("GRAFT_BATCH", "2")
+    import jax.numpy as jnp
+    from jax import lax
+
     import __graft_entry__ as g
 
     fn, (variables, pts, pv) = g.entry()
+    batch = pts.shape[0]
+    dev = jax.devices()[0]
 
-    # optional scan fusion (BENCH_SCAN>1): one dispatched call runs k model
-    # steps via lax.scan. Default OFF: measured infra throughput is higher
-    # with many independent in-flight calls (the tunnel scheduler pipelines
-    # them; fusing into one serial scan forfeits that overlap — b=1 measured
-    # 800 f/s pipelined vs ~210 in a degraded window, same graph)
-    scan_len = int(os.environ.get("BENCH_SCAN", "1"))
-    if scan_len > 1:
-        import jax.numpy as jnp
-        from jax import lax
+    # ---- primary: serial scan (device throughput; overlap-proof) ----------
+    scan_len = int(os.environ.get("BENCH_SCAN", "2" if tiny else "8"))
+    pts_k = jnp.broadcast_to(jnp.asarray(pts), (scan_len,) + pts.shape)
+    pv_k = jnp.broadcast_to(jnp.asarray(pv), (scan_len,) + pv.shape)
 
-        pts_k = jnp.broadcast_to(jnp.asarray(pts), (scan_len,) + pts.shape)
-        pv_k = jnp.broadcast_to(jnp.asarray(pv), (scan_len,) + pv.shape)
+    def fused(variables, pts_k, pv_k):
+        def body(carry, xy):
+            out = fn(variables, *xy)
+            # fold a scalar of the output into the carry so no iteration can
+            # be dead-code-eliminated or reordered
+            score_sum = jax.tree.leaves(out)[0].sum().astype(jnp.float32)
+            return carry + score_sum, out
+        s, outs = lax.scan(body, jnp.float32(0), (pts_k, pv_k))
+        return s, outs
 
-        def fused(variables, pts_k, pv_k):
-            def body(carry, xy):
-                return carry, fn(variables, *xy)
-            _, outs = lax.scan(body, 0, (pts_k, pv_k))
-            return outs
-
-        step = jax.jit(fused)
-        args = (variables, pts_k, pv_k)
-    else:
-        step = jax.jit(fn)
-        args = (variables, pts, pv)
-
+    step = jax.jit(fused)
+    args = (variables, pts_k, pv_k)
     out = step(*args)
     jax.block_until_ready(out)  # compile + warmup
 
-    n_iter = 5 if tiny else 20
+    n_iter = 2 if tiny else 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = step(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)  # serialize calls: no dispatch pipelining
     dt = time.perf_counter() - t0
-    frames = n_iter * pts.shape[0] * scan_len
-    fps = frames / dt
+    fps = n_iter * batch * scan_len / dt
+
+    # ---- secondary: pipelined independent dispatches (infra rate) ---------
+    single = jax.jit(fn)
+    sargs = (variables, jnp.asarray(pts), jnp.asarray(pv))
+    jax.block_until_ready(single(*sargs))
+    n_pipe = 4 if tiny else 20
+    t0 = time.perf_counter()
+    outs = [single(*sargs) for _ in range(n_pipe)]
+    jax.block_until_ready(outs)
+    pipelined_fps = n_pipe * batch / (time.perf_counter() - t0)
+
+    flops_per_frame, flops_src = _flops_per_frame(step, args, batch, scan_len)
+    peak = _device_peak(dev)
+    mfu = flops_per_frame * fps / peak
+    assert mfu <= 1.0, (
+        f"measured {fps:.1f} f/s x {flops_per_frame/1e9:.1f} GFLOP/frame = "
+        f"{mfu:.2f} MFU > 1.0 on {dev.device_kind}: measurement is not device "
+        f"throughput — refusing to report")
 
     print(json.dumps({
         "metric": "centerpoint_waymo_inference" + ("_tiny" if tiny else ""),
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_EST_FPS, 3),
+        "pipelined_fps": round(pipelined_fps, 3),
+        "mfu": round(mfu, 4),
+        "flops_per_frame": round(flops_per_frame),
+        "flops_source": flops_src,
+        "device": getattr(dev, "device_kind", dev.platform),
+        "methodology": f"serial lax.scan x{scan_len}, batch {batch}, "
+                       f"{n_iter} synchronous calls",
     }))
 
 
