@@ -24,13 +24,29 @@ from pathlib import Path
 import numpy as np
 
 from detzero_tpu.data import refine_features as rf
-from detzero_tpu.models.refining import (
-    crm_decode, grm_decode, prm_decode,
-)
 from detzero_tpu.models.refining.target_assign import DEFAULT_SIZE_ANCHORS
 from detzero_tpu.models.tracking import DetZeroTracker
 from detzero_tpu.pipeline import daemon
 from detzero_tpu.pipeline.evaluator import evaluate_detection
+
+_SAMPLER_KEYS = {
+    "grm": (("query_num", 3), ("query_points", 256), ("memory_points", 4096)),
+    "prm": (("query_num", 200), ("query_points", 256), ("memory_points", 48)),
+}
+
+
+def _sampler_kwargs(cfg, kind):
+    """Normalize a stage's third-triple element into GRMSample/PRMSample
+    kwargs. Accepts either a plain kwargs dict ({'query_num': ...}) or a
+    full YAML Config (tools/run_offboard passes the loaded cfg, whose
+    sampler knobs live at the top level as QUERY_NUM/QUERY_POINTS/
+    MEMORY_POINTS — splatting the whole Config was a crash, ADVICE r1)."""
+    cfg = cfg or {}
+    out = {}
+    for key, default in _SAMPLER_KEYS[kind]:
+        val = cfg.get(key, cfg.get(key.upper(), default))
+        out[key] = int(val)
+    return out
 
 
 class OffboardPipeline:
@@ -39,9 +55,11 @@ class OffboardPipeline:
 
     def __init__(self, track_cfg=None, class_names=("Vehicle", "Pedestrian",
                                                     "Cyclist"),
-                 grm=None, prm=None, crm=None, size_anchors=None):
+                 grm=None, prm=None, crm=None, size_anchors=None,
+                 refine_batch: int = 8):
         """grm/prm/crm: optional (model, params, sampler_cfg) triples; stages
-        without a model pass boxes through unchanged."""
+        without a model pass boxes through unchanged. sampler_cfg is either a
+        sampler kwargs dict or a full YAML Config (see _sampler_kwargs)."""
         from detzero_tpu.core.profiling import StageTimer
 
         self.tracker = DetZeroTracker(track_cfg or {})
@@ -51,6 +69,8 @@ class OffboardPipeline:
         self.prm = prm
         self.crm = crm
         self.size_anchors = size_anchors or DEFAULT_SIZE_ANCHORS
+        self.refine_batch = int(refine_batch)
+        self._refiners = {}
 
     # ------------------------------------------------------------------
     def track(self, det_frames):
@@ -62,43 +82,69 @@ class OffboardPipeline:
         return daemon.prepare_object_data(track_result, frame_points, poses, **kw)
 
     # ------------------------------------------------------------------
+    def _cls_name(self, rec):
+        label = rec.get("label", 0)
+        return (self.class_names[int(label)]
+                if not isinstance(label, str) else label)
+
+    def _refiner(self, kind):
+        """Cache one BatchedRefiner (== one jitted vmapped forward+decode)
+        per configured model."""
+        if kind not in self._refiners:
+            from detzero_tpu.models.refining.batched import BatchedRefiner
+
+            model, params, _ = getattr(self, kind)
+            self._refiners[kind] = BatchedRefiner(
+                model, params, kind, batch_size=self.refine_batch)
+        return self._refiners[kind]
+
     def refine(self, obj_records, rng=None):
         """Run whichever of GRM/PRM/CRM are configured over all objects.
-        Returns (grm_sizes, prm_centers, prm_headings, crm_scores) dicts."""
-        import jax
+        Returns (grm_sizes, prm_centers, prm_headings, crm_scores) dicts.
 
+        Batched: every sampler emits static shapes, so objects stack into
+        fixed-size vmapped batches — O(#objects / refine_batch) dispatches
+        per sequence instead of one un-jitted apply per object per model
+        (the reference batches a whole 200-box track through one forward,
+        position_transformer.py:98-126; this batches across objects too)."""
         rng = rng or np.random.RandomState(0)
         grm_sizes, prm_centers, prm_headings, crm_scores = {}, {}, {}, {}
-        for oid, rec in obj_records.items():
-            label = rec.get("label", 0)
-            cls = (self.class_names[int(label)]
-                   if not isinstance(label, str) else label)
-            anchors = np.asarray(self.size_anchors.get(
-                cls, self.size_anchors[self.class_names[0]]))
-            if self.grm is not None:
-                model, params, cfg = self.grm
-                s = rf.GRMSample(rng=rng, **(cfg or {}))(rec)
-                pred = model.apply(params, s["query_pts"], s["query_sizes"],
-                                   s["memory_pts"], s["memory_mask"])
-                grm_sizes[oid] = np.asarray(grm_decode(pred, anchors))
-            if self.prm is not None or self.crm is not None:
-                cfg = (self.prm or self.crm)[2]
-                s = rf.PRMSample(training=False, rng=rng, **(cfg or {}))(rec)
+        oids = list(obj_records.keys())
+        if not oids:
+            return grm_sizes, prm_centers, prm_headings, crm_scores
+
+        if self.grm is not None:
+            sampler = rf.GRMSample(rng=rng,
+                                   **_sampler_kwargs(self.grm[2], "grm"))
+            samples = []
+            for oid in oids:
+                s = sampler(obj_records[oid])
+                cls = self._cls_name(obj_records[oid])
+                s["anchors"] = np.asarray(self.size_anchors.get(
+                    cls, self.size_anchors[self.class_names[0]]), np.float32)
+                samples.append(s)
+            for oid, size in zip(oids, self._refiner("grm").run(samples)):
+                grm_sizes[oid] = np.asarray(size)
+
+        if self.prm is not None or self.crm is not None:
+            cfg = (self.prm or self.crm)[2]
+            sampler = rf.PRMSample(training=False, rng=rng,
+                                   **_sampler_kwargs(cfg, "prm"))
+            samples = [sampler(obj_records[oid]) for oid in oids]
             if self.prm is not None:
-                model, params, _ = self.prm
-                pred = model.apply(params, s["query_pts"], s["query_boxes"],
-                                   s["memory_pts"], s["pad_mask"])
-                c_loc, h_loc = prm_decode(pred)
-                t = int(s["pad_mask"].sum())
-                c, h = rf.revert_prm_to_world(
-                    np.asarray(c_loc)[:t], np.asarray(h_loc)[:t], s["init_box"])
-                prm_centers[oid] = c
-                prm_headings[oid] = h
+                for oid, s, (c_loc, h_loc) in zip(
+                        oids, samples, self._refiner("prm").run(samples)):
+                    t = int(s["pad_mask"].sum())
+                    c, h = rf.revert_prm_to_world(
+                        np.asarray(c_loc)[:t], np.asarray(h_loc)[:t],
+                        s["init_box"])
+                    prm_centers[oid] = c
+                    prm_headings[oid] = h
             if self.crm is not None:
-                model, params, _ = self.crm
-                pred = model.apply(params, s["query_pts"], s["pad_mask"])
-                t = int(s["pad_mask"].sum())
-                crm_scores[oid] = np.asarray(crm_decode(pred))[:t]
+                for oid, s, conf in zip(
+                        oids, samples, self._refiner("crm").run(samples)):
+                    t = int(s["pad_mask"].sum())
+                    crm_scores[oid] = np.asarray(conf)[:t]
         return grm_sizes, prm_centers, prm_headings, crm_scores
 
     # ------------------------------------------------------------------

@@ -26,8 +26,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def _load_refine(cfg_path, ckpt_dir):
-    """(model, params, sampler_cfg) triple for OffboardPipeline."""
-    import jax
+    """(model, params, sampler_kwargs) triple for OffboardPipeline.
+
+    The third element must be sampler kwargs, NOT the whole Config —
+    OffboardPipeline._sampler_kwargs also accepts a full Config now, but we
+    hand it the minimal dict to keep the triple contract explicit
+    (ADVICE r1 high: the full-Config splat crashed GRMSample/PRMSample)."""
     from detzero_tpu.core.checkpoint import CheckpointManager
     from detzero_tpu.core.config import Config, cfg_from_yaml_file
     from tools.train_refine import build_refine_model
@@ -40,7 +44,11 @@ def _load_refine(cfg_path, ckpt_dir):
     params = {"params": state["params"],
               **({"batch_stats": state["batch_stats"]}
                  if state.get("batch_stats") else {})}
-    return model, params, cfg
+    sampler_kwargs = {
+        k.lower(): int(cfg[k])
+        for k in ("QUERY_NUM", "QUERY_POINTS", "MEMORY_POINTS") if k in cfg
+    }
+    return model, params, sampler_kwargs
 
 
 def _load_points(points_root, seq, num_frames, logger):
