@@ -1,4 +1,5 @@
 import pickle
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -103,3 +104,27 @@ def test_refine_dataset_uses_cache(tmp_path):
     ds2 = build_refine_dataset(cfg, training=False)
     s2 = ds2[0]
     np.testing.assert_allclose(s["query_sizes"], s2["query_sizes"])
+
+
+def test_build_cli_verifies_before_delete(tmp_path):
+    """--delete_pickles must deep-verify contents first (ADVICE r1)."""
+    import pickle
+    import subprocess
+    import sys
+
+    rng = np.random.RandomState(0)
+    cls_dir = tmp_path / "Vehicle"
+    cls_dir.mkdir(parents=True)
+    seq = {i: {"boxes_global": rng.randn(4, 7).astype(np.float32),
+               "score": rng.rand(4).astype(np.float32),
+               "pts": [rng.randn(5, 4).astype(np.float32) for _ in range(4)],
+               "label": 0} for i in range(3)}
+    with open(cls_dir / "seq0.pkl", "wb") as f:
+        pickle.dump(seq, f)
+    r = subprocess.run(
+        [sys.executable, "tools/build_record_cache.py", "--object_root",
+         str(tmp_path), "--classes", "Vehicle", "--delete_pickles"],
+        capture_output=True, text=True, cwd=Path(__file__).resolve().parents[1])
+    assert r.returncode == 0, r.stderr
+    assert not (cls_dir / "seq0.pkl").exists()
+    assert (cls_dir / "seq0.dzrc").exists()
