@@ -19,16 +19,16 @@ Two PR-integration modes (``ap_mode`` argument of :func:`evaluate_detection`):
 
   * ``"envelope"`` (default): full interpolated-envelope area over every
     operating point — fast, one Hungarian match per frame.
-  * ``"waymo101"``: the reference TF op's sampling — the PR curve is
+  * ``"waymo101"``: the reference TF op's protocol — the PR curve is
     evaluated at the 101 fixed score cutoffs 0.00, 0.01, ..., 0.99, 1.00
     (detection/detzero_det/datasets/waymo/waymo_eval_detection.py:128-130),
     with the Hungarian matching re-run per cutoff on the score-filtered
-    prediction set exactly like the waymo_open_dataset matcher. Recall gaps
-    larger than 0.05 between consecutive cutoffs are bridged with
-    conservatively-inserted points (precision of the lower-recall endpoint)
-    before trapezoidal integration, mirroring the metric op's
-    recall-delta capping. Differences between the two modes are < 0.1 mAP
-    on dense score distributions.
+    prediction set, and integrated with the op's capped-recall-delta
+    rectangle sum (each operating point credits precision * min(recall
+    gained, 0.05)). Golden-fixture tests with analytically-known AP/APH
+    pin both modes (tests/test_evaluator_golden.py), including the op's
+    signature behavior that a perfect detector with all-equal scores
+    scores only ~0.05 AP under waymo101.
 """
 
 from __future__ import annotations
@@ -60,18 +60,23 @@ def _heading_accuracy(pred_heading, gt_heading):
     return np.maximum(0.0, 1.0 - d / np.pi)
 
 
-def _average_precision(tp_weights, fp_flags, scores, num_gt):
-    """AP via interpolated precision envelope. tp_weights in [0, 1] (1 for AP,
-    heading accuracy for APH)."""
+def _average_precision(tp_flags, fp_flags, scores, num_gt, prec_weights=None):
+    """AP via interpolated precision envelope.
+
+    tp_flags: 0/1 match indicators (define the recall axis).
+    prec_weights: optional per-prediction precision-numerator weights
+    (heading accuracy for APH — the recall axis stays UNWEIGHTED per the
+    Waymo protocol; only p(r) is replaced by h(r))."""
     if num_gt == 0:
         return 0.0
     if not len(scores):
         return 0.0
     order = np.argsort(-scores)
-    tp = np.cumsum(tp_weights[order])
+    tp = np.cumsum(tp_flags[order])
     fp = np.cumsum(fp_flags[order])
     recall = tp / num_gt
-    precision = tp / np.maximum(tp + fp, 1e-9)
+    num = np.cumsum(prec_weights[order]) if prec_weights is not None else tp
+    precision = num / np.maximum(tp + fp, 1e-9)
     # precision envelope + trapezoid-free step integration
     prec = np.maximum.accumulate(precision[::-1])[::-1]
     r = np.concatenate([[0.0], recall])
@@ -130,36 +135,26 @@ def _accumulate_cutoff_stats(frames, iou_thresh, cutoffs, acc):
 
 
 def _integrate_pr_capped(precision, recall, max_recall_delta=0.05):
-    """Trapezoidal area under the cutoff-sampled PR curve.
+    """The metric op's capped-recall-delta rectangle sum.
 
     Points arrive ordered by increasing score cutoff (non-increasing
-    recall). Recall gaps > max_recall_delta get intermediate points with
-    the precision of the lower-recall (higher-cutoff) side so sparse
-    sampling cannot overestimate the area; a final (recall=0) point closes
-    the curve.
+    recall); we walk them in DESCENDING cutoff order (recall growing from
+    0) and credit each operating point with
+    ``precision_i * min(recall_i - best_recall_so_far, max_recall_delta)``.
+    The cap is the op's guard against sparse operating points: recall
+    gained in one >0.05 jump is only credited 0.05, which is why
+    degenerate score distributions (all scores equal) evaluate to ~0.05
+    AP under the real Waymo metric no matter how good the boxes are.
+    Rectangle rule, not trapezoid (ADVICE r1: the old gap-bridged
+    trapezoid only approximated this sum).
     """
-    r, p = [], []
-    for ri, pi in zip(recall, precision):
-        if r and ri > r[-1] + 1e-12:  # enforce monotone non-increasing
-            ri = r[-1]
-        r.append(float(ri))
-        p.append(float(pi))
-    if not r:
-        return 0.0
-    rr, pp = [r[0]], [p[0]]
-    for i in range(1, len(r)):
-        gap = rr[-1] - r[i]
-        while gap > max_recall_delta:
-            rr.append(rr[-1] - max_recall_delta)
-            pp.append(p[i])
-            gap = rr[-1] - r[i]
-        rr.append(r[i])
-        pp.append(p[i])
-    rr.append(0.0)
-    pp.append(pp[-1])
-    rr = np.asarray(rr)
-    pp = np.asarray(pp)
-    return float(np.sum((rr[:-1] - rr[1:]) * 0.5 * (pp[:-1] + pp[1:])))
+    ap = 0.0
+    last_r = 0.0
+    for p, r in zip(precision[::-1], recall[::-1]):
+        if r > last_r:
+            ap += min(float(r) - last_r, max_recall_delta) * float(p)
+            last_r = float(r)
+    return ap
 
 
 def _ap_waymo101(frames, iou_thresh, num_gt, cutoffs=None):
@@ -174,14 +169,14 @@ def _ap_waymo101(frames, iou_thresh, num_gt, cutoffs=None):
         a = acc[lvl]
         denom = np.maximum(a["tp"] + a["fp"], 1e-9)
         ng = max(num_gt[lvl], 1e-9)
-        keep = (a["tp"] + a["fp"]) > 0  # drop cutoffs with no predictions
-        if not keep.any() or num_gt[lvl] == 0:
+        if num_gt[lvl] == 0:
             out[f"AP_{lvl}"] = out[f"APH_{lvl}"] = 0.0
             continue
-        out[f"AP_{lvl}"] = _integrate_pr_capped(
-            (a["tp"] / denom)[keep], (a["tp"] / ng)[keep])
-        out[f"APH_{lvl}"] = _integrate_pr_capped(
-            (a["ha"] / denom)[keep], (a["ha"] / ng)[keep])
+        # APH: the RECALL axis stays unweighted; only the precision
+        # numerator is heading-weighted ("each TP weighted by heading
+        # accuracy" — Waymo protocol; h(r) replaces p(r) on the same r)
+        out[f"AP_{lvl}"] = _integrate_pr_capped(a["tp"] / denom, a["tp"] / ng)
+        out[f"APH_{lvl}"] = _integrate_pr_capped(a["ha"] / denom, a["tp"] / ng)
     return out
 
 
@@ -258,7 +253,8 @@ def evaluate_detection(preds, gts, class_names=("Vehicle", "Pedestrian",
                     out[f"AP_{lvl}"] = _average_precision(
                         arr[:, 1], arr[:, 3], arr[:, 0], num_gt[lvl])
                     out[f"APH_{lvl}"] = _average_precision(
-                        arr[:, 2], arr[:, 3], arr[:, 0], num_gt[lvl])
+                        arr[:, 1], arr[:, 3], arr[:, 0], num_gt[lvl],
+                        prec_weights=arr[:, 2])
                 else:
                     out[f"AP_{lvl}"] = out[f"APH_{lvl}"] = 0.0
 

@@ -199,8 +199,10 @@ def test_evaluator_waymo101_perfect_predictions():
             rng.uniform(-np.pi, np.pi, (4, 1))], axis=1)
         gts.append({"gt_boxes": boxes, "name": np.array(["Vehicle"] * 4),
                     "num_points": np.full(4, 50)})
+        # 20 globally-distinct scores -> every 101-cutoff operating point
+        # gains exactly 1/20 = 0.05 recall, right at the op's cap
         preds.append({"boxes_lidar": boxes.copy(),
-                      "score": np.linspace(0.9, 0.6, 4),
+                      "score": 0.895 - (f * 4 + np.arange(4)) * 0.04,
                       "name": np.array(["Vehicle"] * 4)})
     res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",),
                                        ap_mode="waymo101")
@@ -226,8 +228,11 @@ def test_evaluator_waymo101_hand_computed_staircase():
               "name": np.array(["Vehicle"] * 10)}]
     res = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",),
                                        ap_mode="waymo101")
-    assert res["Vehicle"]["AP_L2"] == pytest.approx(0.5, abs=1e-6)
-    # envelope mode agrees exactly here
+    # exact op semantics: ALL the recall (0.5) arrives at the single 0.8
+    # operating point -> capped at 0.05 (degenerate score distributions
+    # are crushed by the real metric — see tests/test_evaluator_golden.py)
+    assert res["Vehicle"]["AP_L2"] == pytest.approx(0.05, abs=1e-9)
+    # envelope mode integrates the full area
     res_e = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",))
     assert res_e["Vehicle"]["AP_L2"] == pytest.approx(0.5, abs=1e-6)
 
@@ -268,10 +273,19 @@ def test_evaluator_waymo101_l1_excludes_hard_gt_and_range_breakdown():
                                        ap_mode="waymo101",
                                        with_range_breakdown=True)
     v = res["Vehicle"]
-    assert v["AP_L1"] == pytest.approx(1.0, abs=1e-6)
-    assert v["AP_L2"] < 1.0
-    assert v["AP_[0,30)"] == pytest.approx(1.0, abs=1e-6)  # near GT found
+    # one operating point carrying all the recall -> capped at 0.05 each
+    assert v["AP_L1"] == pytest.approx(0.05, abs=1e-9)
+    assert v["AP_L2"] < v["AP_L1"] + 1e-9
+    assert v["AP_[0,30)"] == pytest.approx(0.05, abs=1e-9)  # near GT found
     assert v["AP_[30,50)"] == 0.0  # far (hard) GT missed
+    # envelope mode expresses the same semantics without the cutoff cap
+    res_e = evaluator.evaluate_detection(preds, gts, class_names=("Vehicle",),
+                                         with_range_breakdown=True)
+    v_e = res_e["Vehicle"]
+    assert v_e["AP_L1"] == pytest.approx(1.0, abs=1e-6)
+    assert v_e["AP_L2"] < 1.0
+    assert v_e["AP_[0,30)"] == pytest.approx(1.0, abs=1e-6)
+    assert v_e["AP_[30,50)"] == 0.0
 
 
 def test_tracking_metrics_by_class():
