@@ -85,12 +85,20 @@ def associate_one_stage(det_boxes, det_labels, trk_boxes, trk_labels,
 
 def associate_two_stage(det_boxes, det_labels, det_scores, det_npoints,
                         trk_boxes, trk_labels, *, tight_thresh, loose_thresh,
-                        score_thresh=0.5, min_points=5, metric="iou_bev"):
+                        score_thresh=0.5, min_points=5, metric="iou_bev",
+                        parity=True):
     """Two-stage association (reference two_stage, data_association.py:62).
 
-    Returns (matches, new_track_det_idx, unmatched_trk_idx, dropped_det_idx).
-    Only stage-1-quality detections may spawn new tracks; leftover low-quality
-    detections are dropped.
+    Returns (matches, match_stages, new_track_det_idx, unmatched_trk_idx,
+    dropped_det_idx); match_stages[i] is 0 for a tight (stage-1) match and
+    1 for a loose (stage-2) match — stage-2 matches must not update the KF
+    state (kalman_filter.py:120-122).
+
+    parity=True (default): the stage-2 candidate pool is ONLY the weak
+    detections, exactly like the reference (data_association.py:93-95) —
+    unmatched STRONG detections go straight to spawning. parity=False also
+    offers stage-1 leftovers to stage 2 (round-1 behavior; recovers a few
+    borderline matches at the cost of reference fidelity).
     """
     n = len(det_boxes)
     det_boxes = np.asarray(det_boxes).reshape(n, -1)
@@ -105,10 +113,16 @@ def associate_two_stage(det_boxes, det_labels, det_scores, det_npoints,
         trk_boxes, trk_labels, tight_thresh, metric,
     )
     matches = [(int(strong_idx[d]), t) for d, t in m1]
+    stages = [0] * len(matches)
     unmatched_strong = [int(strong_idx[d]) for d in un_d1]
 
-    # stage 2: weak + stage-1 leftovers vs unmatched tracks, loose threshold
-    stage2_d = np.array(unmatched_strong + [int(i) for i in weak_idx], int)
+    # stage 2 vs unmatched tracks under the loose threshold
+    if parity:
+        stage2_d = np.asarray(weak_idx, int)
+        strong_leftover = list(unmatched_strong)
+    else:
+        stage2_d = np.array(unmatched_strong + [int(i) for i in weak_idx], int)
+        strong_leftover = []
     un_t = np.asarray(un_t, int)
     if len(stage2_d) and len(un_t):
         trk_boxes = np.asarray(trk_boxes).reshape(len(trk_labels), -1)
@@ -117,14 +131,15 @@ def associate_two_stage(det_boxes, det_labels, det_scores, det_npoints,
             trk_boxes[un_t], np.asarray(trk_labels)[un_t], loose_thresh, metric,
         )
         matches += [(int(stage2_d[d]), int(un_t[t])) for d, t in m2]
-        leftover = [int(stage2_d[d]) for d in un_d2]
+        stages += [1] * len(m2)
+        leftover = strong_leftover + [int(stage2_d[d]) for d in un_d2]
         unmatched_t = [int(un_t[t]) for t in un_t2]
     else:
-        leftover = [int(i) for i in stage2_d]
+        leftover = strong_leftover + [int(i) for i in stage2_d]
         unmatched_t = [int(t) for t in un_t]
 
     # only strong leftovers spawn tracks; weak leftovers are dropped
     strong_set = set(int(i) for i in strong_idx)
     new_tracks = [i for i in leftover if i in strong_set]
     dropped = [i for i in leftover if i not in strong_set]
-    return matches, new_tracks, unmatched_t, dropped
+    return matches, stages, new_tracks, unmatched_t, dropped

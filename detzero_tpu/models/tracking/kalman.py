@@ -3,13 +3,25 @@ inherently sequential; association IoU matrices run on device).
 
 Independent re-derivation of the reference's two filters:
   * CenterKalmanFilter — the DetZero-tuned filter (kalman_filter.py:75):
-    state [x, y, z, vx, vy], constant-velocity transition; near-zero vehicle
-    velocities are clamped in predict; process noise inflates 1.5x per missed
-    update; the measurement update snaps the posterior center to the detection
-    (the detector is trusted for position; the filter only smooths velocity);
-    size/heading are carried from the detection, not filtered.
+    state [x, y, z, vx, vy], constant-velocity transition; the measurement
+    update snaps the posterior center to the detection (the detector is
+    trusted for position; the filter only smooths velocity); size/heading
+    are carried from the detection, not filtered.
   * AB3DMOTFilter — classic 10-state baseline (ab3dmot.py:9) with
     heading-flip correction, implemented as a plain linear KF.
+
+Reference-parity semantics (default, cfg PARITY: true — VERDICT r1 #4):
+  * Q inflates 1.5x on EVERY predict, cumulatively, never reset
+    (kalman_filter.py:99);
+  * Vehicle velocity is zeroed when ||v|| <= max(size)/2, norm-based and
+    size-relative (kalman_filter.py:92-95);
+  * a stage-2 (loose) association match does NOT update the KF state,
+    size, heading or box — only score/staleness bookkeeping
+    (kalman_filter.py:120-122, update(two_stage=True) early-return);
+  * update_score = max(score, 0.03) bookkeeping (kalman_filter.py:125).
+PARITY: false restores the round-1 tuning (per-miss Q reset via
+1.5**time_since_update, per-component fixed 0.3 m/s clamp for every
+class, stage-2 matches fully update).
 """
 
 from __future__ import annotations
@@ -31,7 +43,14 @@ class CenterKalmanFilter:
         q = cfg.get("Q", [5.0, 15.0])
         p = cfg.get("P", [50.0, 1000.0])
         r = float(cfg.get("R", 0.1))
+        self.parity = bool(cfg.get("PARITY", True))
         self.min_velocity = float(cfg.get("MIN_VELOCITY", 0.3))
+        # class identity for the vehicle-only parity clamp: string labels
+        # compare directly; int labels map through CLASS_NAMES
+        names = cfg.get("CLASS_NAMES", ["Vehicle", "Pedestrian", "Cyclist"])
+        self.name = (label if isinstance(label, str)
+                     else names[int(label)] if 0 <= int(label) < len(names)
+                     else "Unknown")
 
         self.x = np.zeros(self.X_DIM)
         self.x[:3] = box[:3]
@@ -49,22 +68,42 @@ class CenterKalmanFilter:
 
         self.box = np.array(box, float)  # size/heading carried verbatim
         self.score = float(score)
+        self.update_score = float(score)
         self.label = label
         self.time_since_update = 0
 
     def predict(self):
-        # small velocities collapse to zero so parked vehicles don't drift
-        v = self.x[3:5]
-        v[np.abs(v) < self.min_velocity] = 0.0
-        self.x = self.F @ self.x
-        q = self.Q * (1.5 ** self.time_since_update)  # inflate on misses
-        self.P = self.F @ self.P @ self.F.T + q
+        if self.parity:
+            # Vehicle velocity zeroed when its NORM is below half the
+            # largest box extent (kalman_filter.py:92-95); Q grows 1.5x
+            # per predict, cumulative, never reset (kalman_filter.py:99)
+            if self.name == "Vehicle":
+                v = self.x[3:5]
+                if np.linalg.norm(v) <= np.max(self.box[3:6]) / 2.0:
+                    v[:] = 0.0
+            self.x = self.F @ self.x
+            self.P = self.F @ self.P @ self.F.T + self.Q
+            self.Q = self.Q * 1.5
+        else:
+            # round-1 tuning: per-component clamp, per-miss inflation
+            v = self.x[3:5]
+            v[np.abs(v) < self.min_velocity] = 0.0
+            self.x = self.F @ self.x
+            q = self.Q * (1.5 ** self.time_since_update)
+            self.P = self.F @ self.P @ self.F.T + q
         self.time_since_update += 1
         out = self.box.copy()
         out[:3] = self.x[:3]
         return out
 
-    def update(self, box, score):
+    def update(self, box, score, two_stage: bool = False):
+        self.score = float(score)
+        self.time_since_update = 0
+        if two_stage and self.parity:
+            # loose (stage-2) matches only refresh score/staleness; the KF
+            # state, size, heading and box stay at the prediction
+            # (kalman_filter.py:120-122)
+            return
         z = np.asarray(box[:3], float)
         y = z - self.H @ self.x
         s = self.H @ self.P @ self.H.T + self.R
@@ -74,8 +113,7 @@ class CenterKalmanFilter:
         # trust the detector's center exactly; KF state only shapes velocity
         self.x[:3] = z
         self.box = np.array(box, float)
-        self.score = float(score)
-        self.time_since_update = 0
+        self.update_score = max(float(score), 0.03)
 
     @property
     def velocity(self):
@@ -121,7 +159,7 @@ class AB3DMOTFilter:
         self.time_since_update += 1
         return self.current_box()
 
-    def update(self, box, score):
+    def update(self, box, score, two_stage: bool = False):
         z = np.array([box[0], box[1], box[2], box[6], box[3], box[4], box[5]])
         # heading-flip correction: bring measurement within pi/2 of the state
         yaw_s, yaw_m = self.x[3], z[3]

@@ -4,6 +4,19 @@ Re-derives the reference PostProcessor (post_process.py:10): delete/trim weak
 tracks, recompute early-frame velocities by finite difference, classify
 static vs dynamic motion from the track's own box overlaps, and pin static
 objects' predicted-only tail boxes to the best observed box.
+
+Reference-parity semantics (default, cfg PARITY: true — VERDICT r1 #4):
+  * motion_classify uses only hit==1 (tight-update) frames and declares
+    static iff EVERY pair of observed boxes overlaps in BEV
+    (post_process.py:77-89; <2 observed frames => static);
+  * static_drift_eliminate applies only to static VEHICLES and rewrites
+    only the TRAILING predicted-only boxes with the max-score observed box
+    (post_process.py:92-108);
+  * box_size_update: 'max_score' averages the sizes of ALL max-score
+    frames, 'weighted' weights over every frame, 'largest' picks the
+    largest VOLUME (post_process.py:110-140).
+PARITY: false keeps the round-1 variants (first-vs-last overlap ratio
+static test, all-gap drift fill for every class, area-based largest).
 """
 
 from __future__ import annotations
@@ -19,6 +32,8 @@ class PostProcessor:
         self.least_age = int(cfg.get("LEAST_AGE", 5))
         self.static_thresh = float(cfg.get("STATIC_OVERLAP_THRESH", 0.5))
         self.size_update = cfg.get("BOX_SIZE_UPDATE", None)  # off by default
+        self.header_length = int(cfg.get("HEADER_LENGTH", 5))
+        self.parity = bool(cfg.get("PARITY", True))
 
     def __call__(self, tracks):
         out = []
@@ -40,8 +55,9 @@ class PostProcessor:
 
     @staticmethod
     def _trim(t):
-        """Drop predicted-only (no-hit) head and tail entries."""
-        hits = np.asarray(t.hits, bool)
+        """Drop predicted-only (hit==0) head and tail entries
+        (empty_track_delete END_REMOVE, post_process.py:35-49)."""
+        hits = np.asarray(t.hits) > 0
         if not hits.any():
             t.frames, t.boxes, t.scores, t.hits = [], [], [], []
             return
@@ -52,53 +68,98 @@ class PostProcessor:
         t.scores = t.scores[lo:hi]
         t.hits = t.hits[lo:hi]
 
-    @staticmethod
-    def _velocity_optimize(t, dt: float = 0.1):
-        """Finite-difference velocities along the track (stored per box)."""
+    def _velocity_optimize(self, t, dt: float = 0.1):
+        """Per-box (vx, vy). Parity: forward difference for the first
+        HEADER_LENGTH frames (velocity_optimize, post_process.py:55-70);
+        remaining entries keep the finite-difference estimate."""
         centers = np.stack([b[:2] for b in t.boxes])
         if len(centers) == 1:
             t.velocities = np.zeros((1, 2))
             return
         v = np.gradient(centers, axis=0) / dt
+        if self.parity:
+            n = min(self.header_length, len(centers) - 1)
+            v[:n] = (centers[1:n + 1] - centers[:n]) / dt
         t.velocities = v
 
     def _motion_classify(self, t):
-        """Static if the first and last observed boxes still overlap in BEV."""
-        hits = np.where(np.asarray(t.hits, bool))[0]
-        first, last = t.boxes[hits[0]], t.boxes[hits[-1]]
+        hits1 = np.where(np.asarray(t.hits) == 1)[0] if self.parity \
+            else np.where(np.asarray(t.hits) > 0)[0]
+        if self.parity:
+            # static iff every pair of observed boxes still overlaps in BEV
+            # (post_process.py:77-89); <2 observations => static
+            if len(hits1) < 2:
+                return "static"
+            bevs = box_np.boxes3d_to_bev(
+                np.stack([t.boxes[i] for i in hits1]))
+            for i in range(len(bevs)):
+                for j in range(i + 1, len(bevs)):
+                    if box_np.rotated_overlap_bev(bevs[i], bevs[j]) <= 1e-4:
+                        return "dynamic"
+            return "static"
+        first, last = t.boxes[hits1[0]], t.boxes[hits1[-1]]
         ov = box_np.rotated_overlap_bev(
             box_np.boxes3d_to_bev(np.asarray([first]))[0],
             box_np.boxes3d_to_bev(np.asarray([last]))[0],
         )
         area = min(first[3] * first[4], last[3] * last[4])
-        return "static" if area > 0 and ov / area > self.static_thresh else "dynamic"
+        return "static" if area > 0 and ov / area > self.static_thresh \
+            else "dynamic"
 
-    @staticmethod
-    def _static_drift_eliminate(t):
-        """For static objects: overwrite predicted-only boxes with the
-        best-scoring observed box (kills KF drift on parked vehicles)."""
-        hits = np.asarray(t.hits, bool)
+    def _static_drift_eliminate(self, t):
+        hits = np.asarray(t.hits)
         scores = np.asarray(t.scores)
-        best = int(np.argmax(np.where(hits, scores, -np.inf)))
+        if self.parity:
+            # vehicles only; rewrite only the TRAILING predicted-only boxes
+            # with the best-scoring tight-update box (post_process.py:92-108)
+            name = t.label if isinstance(t.label, str) else (
+                "Vehicle" if int(t.label) == 0 else "other")
+            if name != "Vehicle":
+                return
+            h1 = np.where(hits == 1)[0]
+            if not len(h1):
+                return
+            best_box = t.boxes[h1[np.argmax(scores[h1])]]
+            for i in reversed(range(len(t.boxes))):
+                if hits[i] >= 1:
+                    break
+                t.boxes[i] = best_box.copy()
+            return
+        obs = hits > 0
+        best = int(np.argmax(np.where(obs, scores, -np.inf)))
         best_box = t.boxes[best]
         for i in range(len(t.boxes)):
-            if not hits[i]:
+            if not obs[i]:
                 t.boxes[i] = best_box.copy()
 
     def _box_size_update(self, t):
-        """Unify box sizes along the track (max-score / weighted / largest)."""
+        """Unify box sizes along the track (post_process.py:110-140)."""
         mode = self.size_update
-        hits = np.asarray(t.hits, bool)
-        sizes = np.stack([b[3:6] for b in t.boxes])[hits]
-        scores = np.asarray(t.scores)[hits]
-        if mode == "max_score":
-            size = sizes[int(np.argmax(scores))]
-        elif mode == "weighted":
-            w = scores / max(scores.sum(), 1e-6)
-            size = (sizes * w[:, None]).sum(0)
-        elif mode == "largest":
-            size = sizes.max(0)
+        scores = np.asarray(t.scores)
+        all_sizes = np.stack([b[3:6] for b in t.boxes])
+        if self.parity:
+            if mode in ("max_score", "max_score_box"):
+                m = scores == scores.max()
+                size = all_sizes[m].mean(0)
+            elif mode in ("weighted", "score_weigthed_box"):
+                w = scores / max(scores.sum(), 1e-6)
+                size = (all_sizes * w[:, None]).sum(0)
+            elif mode in ("largest", "largest_box"):
+                size = all_sizes[int(np.argmax(all_sizes.prod(axis=1)))]
+            else:
+                return
         else:
-            return
+            obs = np.asarray(t.hits) > 0
+            sizes = all_sizes[obs]
+            s = scores[obs]
+            if mode == "max_score":
+                size = sizes[int(np.argmax(s))]
+            elif mode == "weighted":
+                w = s / max(s.sum(), 1e-6)
+                size = (sizes * w[:, None]).sum(0)
+            elif mode == "largest":
+                size = sizes.max(0)
+            else:
+                return
         for b in t.boxes:
             b[3:6] = size

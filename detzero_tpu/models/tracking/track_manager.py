@@ -22,7 +22,8 @@ import numpy as np
 from detzero_tpu.core.registry import MOTION_FILTERS
 from detzero_tpu.models.tracking import kalman as _kalman  # registers filters
 from detzero_tpu.models.tracking.association import (
-    affinity_matrix, associate_two_stage, hungarian_match,
+    affinity_matrix, associate_one_stage, associate_two_stage,
+    hungarian_match,
 )
 
 
@@ -37,13 +38,16 @@ class Track:
         self.frames = [frame_idx]
         self.boxes = [np.asarray(box, float)]
         self.scores = [float(score)]
-        self.hits = [True]
+        # hit code per frame (reference convention): 0 = predicted-only
+        # miss, 1 = tight (stage-1) update, 2 = loose (stage-2) match that
+        # left the KF state untouched
+        self.hits = [1]
         self.alive = True
         self.birth_frame = frame_idx
 
     @property
     def num_hits(self):
-        return int(np.sum(self.hits))
+        return int(np.sum(np.asarray(self.hits) > 0))
 
     @property
     def age(self):
@@ -59,11 +63,18 @@ class TrackManager:
         self.loose_thresh = cfg.get("LOOSE_THRESH", [0.3, 0.15, 0.15])
         self.score_thresh = float(cfg.get("SCORE_THRESH", 0.5))
         self.min_points = int(cfg.get("MIN_POINTS", 5))
+        # MAX_AGE < 0 = tracks never age out (reference DEATH_AGE: -1)
         self.max_age = int(cfg.get("MAX_AGE", 10))
         self.merge_thresh = cfg.get("TRACK_MERGE_THRESH", [0.5, 0.4, 0.4])
         self.metric = cfg.get("METRIC", "iou_bev")
         self.reverse = bool(cfg.get("REVERSE", True))
         self.dt = float(cfg.get("DELTA_T", 0.1))
+        # reference-parity semantics (VERDICT r1 #4): stage-2 pool is weak
+        # dets only; stage-2 matches record the PREDICTED box and skip the
+        # KF update. Threads through to the filters via FILTER_CFG.
+        self.parity = bool(cfg.get("PARITY", True))
+        self.filter_cfg = dict(self.filter_cfg or {})
+        self.filter_cfg.setdefault("PARITY", self.parity)
 
     # ------------------------------------------------------------------
     def forward(self, seq):
@@ -81,36 +92,43 @@ class TrackManager:
             used_f = np.zeros(len(boxes), bool)
 
             active = [t for t in tracks
-                      if t.alive and (f - t.frames[-1]) <= self.max_age]
+                      if t.alive and (self.max_age < 0
+                                      or (f - t.frames[-1]) <= self.max_age)]
             pred_boxes = np.array([t.kf.predict() for t in active]).reshape(-1, 7)
             trk_labels = np.array([t.label for t in active], dtype=object)
 
             if len(boxes):
-                matches, new_idx, unmatched_t, _dropped = associate_two_stage(
-                    boxes, labels, scores, npts, pred_boxes, trk_labels,
-                    tight_thresh=self.tight_thresh,
-                    loose_thresh=self.loose_thresh,
-                    score_thresh=self.score_thresh, min_points=self.min_points,
-                    metric=self.metric,
-                )
+                matches, stages, new_idx, unmatched_t, _dropped = \
+                    associate_two_stage(
+                        boxes, labels, scores, npts, pred_boxes, trk_labels,
+                        tight_thresh=self.tight_thresh,
+                        loose_thresh=self.loose_thresh,
+                        score_thresh=self.score_thresh,
+                        min_points=self.min_points,
+                        metric=self.metric, parity=self.parity,
+                    )
             else:
-                matches, new_idx = [], []
+                matches, stages, new_idx = [], [], []
                 unmatched_t = list(range(len(active)))
 
-            for d, t in matches:
+            for (d, t), stage in zip(matches, stages):
                 trk = active[t]
-                trk.kf.update(boxes[d], scores[d])
+                two_stage = bool(stage) and self.parity
+                trk.kf.update(boxes[d], scores[d], two_stage=two_stage)
                 trk.frames.append(f)
-                trk.boxes.append(boxes[d].copy())
+                # a stage-2 match keeps the PREDICTED box (the KF state was
+                # not updated — reference track.info() reports self.bbox)
+                trk.boxes.append(trk.kf.current_box() if two_stage
+                                 else boxes[d].copy())
                 trk.scores.append(float(scores[d]))
-                trk.hits.append(True)
+                trk.hits.append(2 if two_stage else 1)
                 used_f[d] = True
             for t in unmatched_t:
                 trk = active[t]
                 trk.frames.append(f)
                 trk.boxes.append(trk.kf.current_box())
                 trk.scores.append(trk.scores[-1])
-                trk.hits.append(False)
+                trk.hits.append(0)
             for d in new_idx:
                 kf = MOTION_FILTERS.build(
                     self.filter_name, boxes[d], scores[d], labels[d], f,
@@ -158,13 +176,14 @@ class TrackManager:
         for f in range(len(seq) - 1, -1, -1):
             # seed reverse filters for tracks born at f+? (birth > f)
             cands = [t for t in tracks
-                     if t.alive and t.num_hits > 0
-                     and 0 < t.birth_frame - f <= self.max_age]
+                     if t.alive and t.num_hits > 0 and t.birth_frame - f > 0
+                     and (self.max_age < 0
+                          or t.birth_frame - f <= self.max_age)]
             if not cands:
                 continue
             for t in cands:
                 if t.tid not in rev_kf:
-                    first_hit = int(np.argmax(t.hits))
+                    first_hit = int(np.argmax(np.asarray(t.hits) > 0))
                     rev_kf[t.tid] = MOTION_FILTERS.build(
                         self.filter_name, t.boxes[first_hit],
                         t.scores[first_hit], t.label, t.birth_frame,
@@ -185,20 +204,41 @@ class TrackManager:
                 continue
             pred = np.array([rev_kf[t.tid].predict() for t in cands]).reshape(-1, 7)
             trk_labels = np.array([t.label for t in cands], dtype=object)
-            matches, _new, _unm, _drop = associate_two_stage(
-                boxes[free_idx], labels[free_idx], scores[free_idx],
-                npts[free_idx], pred, trk_labels,
-                tight_thresh=self.tight_thresh, loose_thresh=self.loose_thresh,
-                score_thresh=0.0, min_points=0, metric=self.metric,
-            )
-            for d, t in matches:
+            if self.parity:
+                # reference reverse pass = only_two_stage
+                # (data_association.py:126): ONLY weak detections, loose
+                # threshold, and every match applies with two_stage=True
+                # (track_manager.py:239) — the KF state stays untouched
+                # and the track records the predicted box
+                weak = (scores[free_idx] < self.score_thresh) | \
+                       (npts[free_idx] < self.min_points)
+                pool = free_idx[weak]
+                m, _, _ = associate_one_stage(
+                    boxes[pool], labels[pool], pred, trk_labels,
+                    self.loose_thresh, self.metric)
+                matches = [(d, t) for d, t in m]
+                stages = [1] * len(matches)
+                free_idx = pool
+            else:
+                matches, stages, _new, _unm, _drop = associate_two_stage(
+                    boxes[free_idx], labels[free_idx], scores[free_idx],
+                    npts[free_idx], pred, trk_labels,
+                    tight_thresh=self.tight_thresh,
+                    loose_thresh=self.loose_thresh,
+                    score_thresh=0.0, min_points=0, metric=self.metric,
+                    parity=False,
+                )
+            for (d, t), stage in zip(matches, stages):
                 di = int(free_idx[d])
                 trk = cands[t]
-                rev_kf[trk.tid].update(boxes[di], scores[di])
+                two_stage = bool(stage) and self.parity
+                rev_kf[trk.tid].update(boxes[di], scores[di],
+                                       two_stage=two_stage)
                 # prepend to the track
                 trk.frames.insert(0, f)
-                trk.boxes.insert(0, boxes[di].copy())
+                trk.boxes.insert(0, rev_kf[trk.tid].current_box()
+                                 if two_stage else boxes[di].copy())
                 trk.scores.insert(0, float(scores[di]))
-                trk.hits.insert(0, True)
+                trk.hits.insert(0, 2 if two_stage else 1)
                 trk.birth_frame = f
                 used[f][di] = True

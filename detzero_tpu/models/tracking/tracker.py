@@ -115,7 +115,9 @@ class DetZeroTracker:
                 "boxes_global": np.stack(t.boxes) if t.boxes else np.zeros((0, 7)),
                 "score": np.asarray(t.scores),
                 "sample_idx": np.asarray(t.frames, int),
-                "hit": np.asarray(t.hits, bool),
+                # int codes (reference convention): 0 miss / 1 tight / 2
+                # loose; downstream bool casts still read "observed"
+                "hit": np.asarray(t.hits, np.int32),
                 "state": getattr(t, "state", "dynamic"),
                 "label": t.label,
                 "velocity": getattr(t, "velocities", None),

@@ -2,16 +2,24 @@
 
 Re-derives the reference WBF (utils/ensemble_utils/wbf_3d.py:
 weighted_boxes_fusion_3d + ensemble.py wbf_online): greedy score-ordered
-cluster-and-fuse where a box joins the first existing cluster whose fused box
-it 3D-IoU-matches, the cluster's fused box is the score-weighted mean
-(heading from the argmax-score member, ensemble.py get_weighted_box:55-95),
-and the final score is the cluster mean ('avg' mode) optionally damped by
-member count.
+cluster-and-fuse. Default semantics are EXACT reference parity
+(VERDICT r1 #4):
 
-TPU split: the O(N^2) rotated-IoU matrix is computed ONCE on device
-(ops/iou3d, tiled MXU-friendly pair grid — the reference loops a GPU call per
-box); the greedy cluster walk, inherently serial but O(N*C) scalar work, runs
-on host against that precomputed matrix.
+  * each box joins the cluster whose RUNNING FUSED box has the highest
+    3D IoU above the threshold (find_matching_box, wbf_3d.py:96-116), and
+    the fused box is recomputed immediately after every join
+    (wbf_3d.py:163-167);
+  * the fused box is the score-weighted mean with heading taken from the
+    max-score member (get_weighted_box, wbf_3d.py:60-82);
+  * the final score is the cluster avg/max damped by
+    min(n_models, cluster_size) / n_models (allows_overflow=False,
+    wbf_3d.py:172-175) — pass n_models = number of TTA variants /
+    ensemble members; the default 1 leaves scores undamped.
+
+iou_mode="members" keeps the round-1 approximation (max IoU to cluster
+MEMBERS against one precomputed pair matrix — O(N^2) device-batched, no
+serial fused-box recomputation); tests/test_wbf_parity.py quantifies the
+delta between the modes.
 """
 
 from __future__ import annotations
@@ -37,11 +45,28 @@ def _pairwise_iou3d(boxes):
     return np.asarray(jax.jit(iou3d.boxes_iou3d)(boxes[:, :7], boxes[:, :7]))
 
 
+def _fuse_cluster(boxes, scores, members):
+    """Score-weighted mean over all box dims, heading from the max-score
+    member (get_weighted_box, wbf_3d.py:60-82)."""
+    m = np.asarray(members)
+    w = scores[m]
+    box = (boxes[m, :] * w[:, None]).sum(0) / w.sum()
+    box[6] = boxes[m[np.argmax(w)], 6]
+    return box
+
+
 def weighted_boxes_fusion_3d(boxes, scores, iou_thresh: float,
                              skip_thresh: float = 0.0, conf_type: str = "avg",
-                             extra=None):
+                             extra=None, n_models: int = 1,
+                             iou_mode: str = "fused"):
     """boxes (N, 7+), scores (N,) one class. Returns (fused_boxes, fused_scores,
-    cluster_members list, fused_extra)."""
+    cluster_members list, fused_extra).
+
+    iou_mode "fused" (default): exact reference clustering — argmax-IoU
+    against the running fused boxes, recomputed per join. "members":
+    first-cluster max-IoU-to-members against one precomputed matrix.
+    n_models: number of source models/variants for the
+    min(n_models, cluster_size)/n_models score damping."""
     boxes = np.asarray(boxes, float)
     scores = np.asarray(scores, float)
     keep = scores > skip_thresh
@@ -52,39 +77,58 @@ def weighted_boxes_fusion_3d(boxes, scores, iou_thresh: float,
         return (np.zeros((0, boxes.shape[1] if boxes.ndim == 2 else 7)),
                 np.zeros(0), [], None)
 
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")
     boxes, scores = boxes[order], scores[order]
     if extra is not None:
         extra = extra[order]
-    iou = _pairwise_iou3d(boxes)
 
     clusters: list[list[int]] = []
-    fused: list[np.ndarray] = []
-    for i in range(len(boxes)):
-        joined = False
-        for ci, members in enumerate(clusters):
-            # match against the current fused box ≈ match vs best member set:
-            # use max IoU to members (stable, monotone approximation of the
-            # reference's fused-box test with the same threshold)
-            if iou[i, members].max() > iou_thresh:
-                members.append(i)
-                joined = True
-                break
-        if not joined:
-            clusters.append([i])
-    for members in clusters:
-        m = np.asarray(members)
-        w = scores[m]
-        box = (boxes[m, :] * w[:, None]).sum(0) / w.sum()
-        box[6] = boxes[m[np.argmax(w)], 6]  # heading from best-scoring member
-        fused.append(box)
-    fused = np.stack(fused)
+    if iou_mode == "fused":
+        from detzero_tpu.ops import box_np
+
+        fused_boxes: list[np.ndarray] = []
+        for i in range(len(boxes)):
+            best, best_iou = -1, iou_thresh
+            if fused_boxes:
+                ious = box_np.boxes_iou3d(
+                    boxes[i: i + 1, :7], np.stack(fused_boxes)[:, :7])[0]
+                j = int(np.argmax(ious))
+                # join iff strictly above threshold (find_matching_box)
+                if ious[j] > best_iou:
+                    best = j
+            if best >= 0:
+                clusters[best].append(i)
+                fused_boxes[best] = _fuse_cluster(boxes, scores,
+                                                  clusters[best])
+            else:
+                clusters.append([i])
+                fused_boxes.append(boxes[i].copy())
+        fused = np.stack(fused_boxes)
+    elif iou_mode == "members":
+        iou = _pairwise_iou3d(boxes)
+        for i in range(len(boxes)):
+            joined = False
+            for ci, members in enumerate(clusters):
+                if iou[i, members].max() > iou_thresh:
+                    members.append(i)
+                    joined = True
+                    break
+            if not joined:
+                clusters.append([i])
+        fused = np.stack([_fuse_cluster(boxes, scores, m) for m in clusters])
+    else:
+        raise NotImplementedError(iou_mode)
+
     if conf_type == "avg":
         fscores = np.array([scores[m].mean() for m in clusters])
     elif conf_type == "max":
         fscores = np.array([scores[m].max() for m in clusters])
     else:
         raise NotImplementedError(conf_type)
+    if n_models > 1:
+        # allows_overflow=False damping (wbf_3d.py:172-175)
+        fscores = fscores * np.array(
+            [min(n_models, len(m)) for m in clusters]) / float(n_models)
     fextra = None
     if extra is not None:
         fextra = np.array([extra[m[np.argmax(scores[m])]] for m in clusters])
@@ -93,11 +137,12 @@ def weighted_boxes_fusion_3d(boxes, scores, iou_thresh: float,
 
 def wbf_online(names, boxes, scores, class_names=("Vehicle", "Pedestrian",
                                                   "Cyclist"),
-               iou_thresh=None, skip_thresh=None):
+               iou_thresh=None, skip_thresh=None, n_models: int = 1):
     """Per-class fusion of concatenated (TTA / ensemble) detections.
 
-    names (N,) str labels; boxes (N, 7+); scores (N,). Returns fused
-    (names, boxes, scores).
+    names (N,) str labels; boxes (N, 7+); scores (N,). n_models = number
+    of concatenated sources (TTA variants / ensemble members) for the
+    reference's score damping. Returns fused (names, boxes, scores).
     """
     iou_thresh = iou_thresh or DEFAULT_IOU_THRESH
     skip_thresh = skip_thresh or DEFAULT_SKIP_THRESH
@@ -111,6 +156,7 @@ def wbf_online(names, boxes, scores, class_names=("Vehicle", "Pedestrian",
             np.asarray(boxes)[m], np.asarray(scores)[m],
             iou_thresh=iou_thresh[cls] if isinstance(iou_thresh, dict) else iou_thresh,
             skip_thresh=skip_thresh[cls] if isinstance(skip_thresh, dict) else skip_thresh,
+            n_models=n_models,
         )
         out_n.append(np.full(len(fb), cls, object))
         out_b.append(fb)
@@ -122,10 +168,11 @@ def wbf_online(names, boxes, scores, class_names=("Vehicle", "Pedestrian",
 
 
 def weighted_tracking_boxes_fusion_3d(boxes, scores, obj_ids, iou_thresh,
-                                      skip_thresh=0.0):
+                                      skip_thresh=0.0, n_models: int = 1):
     """WBF variant that propagates object ids (reference
     weighted_tracking_boxes_fusion_3d): fused box carries the id of its
     best-scoring member."""
     fb, fs, clusters, fids = weighted_boxes_fusion_3d(
-        boxes, scores, iou_thresh, skip_thresh, extra=obj_ids)
+        boxes, scores, iou_thresh, skip_thresh, extra=obj_ids,
+        n_models=n_models)
     return fb, fs, fids

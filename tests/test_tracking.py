@@ -60,11 +60,12 @@ def test_two_stage_drops_weak_unmatched():
     scores = np.array([0.9, 0.1])  # second is weak and matches no track
     npts = np.array([100, 100])
     trk = np.array([[0.2, 0, 0, 4, 2, 1.5, 0]], float)
-    matches, new, unmatched_t, dropped = associate_two_stage(
+    matches, stages, new, unmatched_t, dropped = associate_two_stage(
         det, labels, scores, npts, trk, np.array([0]),
         tight_thresh=[0.2], loose_thresh=[0.3],
     )
     assert matches == [(0, 0)]
+    assert stages == [0]
     assert new == [] and dropped == [1]
 
 
@@ -140,9 +141,12 @@ def test_static_drift_eliminate():
     static = [t for t in out["tracks"].values() if t["state"] == "static"]
     assert len(static) == 1
     t = static[0]
-    miss = ~t["hit"]
+    miss = t["hit"] == 0
     if miss.any():
-        # all predicted boxes identical to one observed box
-        obs = t["boxes_global"][t["hit"]]
+        # parity semantics: the static Vehicle's velocity is clamped to
+        # zero (||v|| <= max(size)/2), so every gap box equals the last
+        # observed box exactly; trailing gaps would be pinned to the
+        # max-score observed box (reference static_drift_eliminate)
+        obs = t["boxes_global"][t["hit"] > 0]
         for b in t["boxes_global"][miss]:
             assert any(np.allclose(b, o) for o in obs)

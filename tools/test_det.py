@@ -103,7 +103,8 @@ def main():
                 n, b, s = wbf.wbf_online(
                     np.concatenate(names), np.concatenate(boxes),
                     np.concatenate(scores),
-                    class_names=tuple(cfg.get("CLASS_NAMES")))
+                    class_names=tuple(cfg.get("CLASS_NAMES")),
+                    n_models=len(dicts))
                 dicts = [{"name": n, "score": s, "boxes_lidar": b,
                           "frame_id": dicts[0]["frame_id"],
                           "sequence_name": dicts[0]["sequence_name"],
