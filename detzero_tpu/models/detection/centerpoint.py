@@ -235,8 +235,13 @@ class CenterPoint:
         return preds, out3d, {}
 
     def loss(self, variables, points, points_valid, gt_boxes, gt_classes,
-             gt_valid):
-        """Full training loss for a batch. gt_boxes (B, M, 7/9)."""
+             gt_valid, rng=None):
+        """Full training loss for a batch. gt_boxes (B, M, 7/9).
+
+        rng: optional PRNGKey for the second stage's fg/bg RoI subsampling
+        (proposal_target_layer semantics); when absent a key is derived
+        from the batch's GT bits so the subsample still varies across
+        batches without threading a key through every trainer."""
         preds, out3d, updates = self.apply(variables, points, points_valid,
                                            train=True)
         tgt_fn = functools.partial(
@@ -257,17 +262,39 @@ class CenterPoint:
         total = per_sample_loss.mean()
         if self.second_stage and out3d.get("roi") is not None:
             from detzero_tpu.models.detection.pdv_head import (
-                assign_roi_targets, pdv_loss,
+                assign_roi_targets, pdv_loss, subsample_rois,
             )
             roi = out3d["roi"]
+            scfg = self.cfg.get("ROI_SAMPLER", {}) or {}
+            roi_per_image = int(scfg.get("ROI_PER_IMAGE",
+                                         roi["rois"].shape[1]))
+            if rng is None:
+                # batch-dependent deterministic key: fold the GT bits in so
+                # the subsample varies with the (augmented) batch content
+                seed = jnp.abs(jax.lax.bitcast_convert_type(
+                    gt_boxes.astype(jnp.float32), jnp.int32)).sum()
+                rng = jax.random.fold_in(jax.random.PRNGKey(17),
+                                         seed.astype(jnp.uint32))
+            keys = jax.random.split(rng, gt_boxes.shape[0])
 
-            def one(roi_s, gb, gv):
+            def one(key, roi_s, gb, gv):
                 tgt = assign_roi_targets(roi_s["rois"], roi_s["roi_mask"],
                                          gb[:, :7], gv)
-                return pdv_loss(roi_s["cls_logit"], roi_s["reg_deltas"], tgt,
-                                roi_s["rois"], roi_s["roi_mask"])
+                # reference proposal_target_layer fg/bg subsampling
+                # (FG_RATIO + hard-bg mining), static-shape gather
+                idx, valid = subsample_rois(
+                    key, tgt["roi_iou"], roi_s["roi_mask"],
+                    roi_per_image=roi_per_image,
+                    fg_ratio=float(scfg.get("FG_RATIO", 0.5)),
+                    hard_bg_ratio=float(scfg.get("HARD_BG_RATIO", 0.8)))
+                sub_tgt = jax.tree.map(lambda a: a[idx], tgt)
+                mask = valid & roi_s["roi_mask"][idx]
+                sub_tgt["fg_mask"] = sub_tgt["fg_mask"] & mask
+                return pdv_loss(roi_s["cls_logit"][idx],
+                                roi_s["reg_deltas"][idx], sub_tgt,
+                                roi_s["rois"][idx], mask)
 
-            roi_loss, roi_aux = jax.vmap(one)(roi, gt_boxes, gt_valid)
+            roi_loss, roi_aux = jax.vmap(one)(keys, roi, gt_boxes, gt_valid)
             total = total + roi_loss.mean()
             aux = {**aux, **roi_aux}
         return total, (aux, updates)

@@ -143,24 +143,88 @@ class PDVHead(nn.Module):
 
 # ----------------------------------------------------------------------
 def assign_roi_targets(rois, roi_mask, gt_boxes, gt_valid,
-                       fg_thresh: float = 0.55, bg_thresh: float = 0.35,
+                       reg_fg_thresh: float = 0.55,
+                       cls_fg_thresh: float = 0.75,
+                       cls_bg_thresh: float = 0.25,
                        coder: ResidualCoder | None = None):
-    """Vectorized proposal_target_layer: per-RoI max-IoU GT, scaled cls
-    target, canonical reg residuals. Returns dict of static-shape targets."""
+    """Vectorized proposal_target_layer targets: per-RoI max-IoU GT,
+    roi_iou-scaled cls target (CLS_BG 0.25 -> CLS_FG 0.75 linear ramp,
+    proposal_target_layer.py:44-54), reg valid above REG_FG_THRESH (:36),
+    canonical reg residuals. Returns dict of static-shape targets."""
     coder = coder or ResidualCoder()
     iou = boxes_iou3d(rois[:, :7], gt_boxes[:, :7])
     iou = jnp.where(gt_valid[None, :], iou, -1.0)
     best = iou.max(axis=1)
     gt_idx = iou.argmax(axis=1)
     matched = gt_boxes[gt_idx][:, :7]
-    # cls target: 0 below bg, 1 above fg, linear in between (reference
-    # proposal_target_layer roi_iou->cls scaling)
-    cls_t = jnp.clip((best - bg_thresh) / (fg_thresh - bg_thresh), 0.0, 1.0)
-    fg = (best >= fg_thresh) & roi_mask
+    cls_t = jnp.clip((best - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh),
+                     0.0, 1.0)
+    fg = (best > reg_fg_thresh) & roi_mask
     # canonical-frame residuals: encode GT against the RoI as anchor
     reg_t = coder.encode(matched, rois[:, :7])
     return {"cls_target": cls_t, "reg_target": reg_t, "fg_mask": fg,
             "roi_iou": best, "matched_gt": matched}
+
+
+def subsample_rois(key, roi_iou, roi_mask, roi_per_image: int = 128,
+                   fg_ratio: float = 0.5, reg_fg_thresh: float = 0.55,
+                   cls_fg_thresh: float = 0.75,
+                   cls_bg_thresh_lo: float = 0.1,
+                   hard_bg_ratio: float = 0.8):
+    """Static-shape fg/bg RoI subsampling (VERDICT r1 #8) —
+    proposal_target_layer.subsample_rois semantics (:121-170) re-expressed
+    for TPU: every count is a traced scalar and the output is a fixed
+    (roi_per_image,) gather index, so nothing has a data-dependent shape.
+
+    Composition matches the reference: up to FG_RATIO*M foreground RoIs
+    (IoU >= min(REG_FG, CLS_FG), shuffled without replacement, wrapping
+    only when fg alone must fill all M slots), the rest background split
+    HARD_BG_RATIO hard (IoU in [LO, REG_FG)) vs easy (IoU < LO), each
+    drawn WITH replacement as the reference's randint does. Slots whose
+    pool is empty come back invalid instead of raising.
+
+    Returns (idx (M,) int32, valid (M,) bool).
+    """
+    import numpy as np
+
+    n = roi_iou.shape[0]
+    m = int(roi_per_image)
+    kf, kh, ke, kd = jax.random.split(key, 4)
+    fg_thresh = min(reg_fg_thresh, cls_fg_thresh)
+    fg = (roi_iou >= fg_thresh) & roi_mask
+    easy = (roi_iou < cls_bg_thresh_lo) & roi_mask
+    hard = (roi_iou >= cls_bg_thresh_lo) & (roi_iou < reg_fg_thresh) \
+        & roi_mask
+    fg_cnt = fg.sum()
+    hard_cnt = hard.sum()
+    easy_cnt = easy.sum()
+    bg_cnt = hard_cnt + easy_cnt
+
+    fg_target = int(np.round(fg_ratio * m))
+    n_fg = jnp.where(bg_cnt > 0, jnp.minimum(fg_target, fg_cnt),
+                     jnp.where(fg_cnt > 0, m, 0))
+    n_bg = m - n_fg
+    n_hard = jnp.where((hard_cnt > 0) & (easy_cnt > 0),
+                       jnp.minimum((n_bg * hard_bg_ratio).astype(jnp.int32),
+                                   hard_cnt),
+                       jnp.where(hard_cnt > 0, n_bg, 0))
+
+    # category pools: member indices shuffled to the front
+    fg_pool = jnp.argsort(jnp.where(fg, jax.random.uniform(kf, (n,)), 2.0))
+    hard_pool = jnp.argsort(jnp.where(hard, jax.random.uniform(kh, (n,)), 2.0))
+    easy_pool = jnp.argsort(jnp.where(easy, jax.random.uniform(ke, (n,)), 2.0))
+
+    slots = jnp.arange(m)
+    draw = jax.random.randint(kd, (m,), 0, 1 << 30)
+    is_fg = slots < n_fg
+    is_hard = (~is_fg) & (slots < n_fg + n_hard)
+    idx = jnp.where(
+        is_fg, fg_pool[slots % jnp.maximum(fg_cnt, 1)],
+        jnp.where(is_hard, hard_pool[draw % jnp.maximum(hard_cnt, 1)],
+                  easy_pool[draw % jnp.maximum(easy_cnt, 1)]))
+    valid = jnp.where(is_fg, fg_cnt > 0,
+                      jnp.where(is_hard, hard_cnt > 0, easy_cnt > 0))
+    return idx.astype(jnp.int32), valid
 
 
 def pdv_loss(cls_logit, reg_deltas, targets, rois, roi_mask,

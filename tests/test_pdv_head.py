@@ -95,3 +95,49 @@ def test_two_stage_forward_loss_grad_predict(two_stage_model):
     assert np.isfinite(np.asarray(pred["boxes"])).all()
     assert ((np.asarray(pred["scores"]) >= 0)
             & (np.asarray(pred["scores"]) <= 1)).all()
+
+
+def test_subsample_rois_composition():
+    """proposal_target_layer.subsample_rois parity (VERDICT r1 #8): fg
+    capped at FG_RATIO*M, bg split hard/easy by HARD_BG_RATIO, all shapes
+    static, degenerate pools -> invalid slots instead of raising."""
+    import jax
+    from detzero_tpu.models.detection.pdv_head import subsample_rois
+
+    n, m = 64, 16
+    rng = np.random.RandomState(0)
+    iou = np.concatenate([
+        np.full(20, 0.8),   # fg
+        np.full(24, 0.3),   # hard bg [0.1, 0.55)
+        np.full(20, 0.02),  # easy bg
+    ]).astype(np.float32)
+    mask = np.ones(n, bool)
+    idx, valid = jax.jit(
+        lambda k: subsample_rois(k, jnp.asarray(iou), jnp.asarray(mask),
+                                 roi_per_image=m)
+    )(jax.random.PRNGKey(0))
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    assert idx.shape == (m,) and valid.all()
+    cat = np.where(iou[idx] >= 0.55, "fg",
+                   np.where(iou[idx] >= 0.1, "hard", "easy"))
+    # 8 fg (FG_RATIO 0.5), 8 bg of which floor(8*0.8)=6 hard + 2 easy
+    assert (cat == "fg").sum() == 8
+    assert (cat == "hard").sum() == 6
+    assert (cat == "easy").sum() == 2
+    # fg slots are drawn without replacement when the pool is big enough
+    assert len(set(idx[cat == "fg"])) == 8
+
+    # no fg at all -> every slot is background, still valid
+    iou2 = np.full(n, 0.3, np.float32)
+    idx2, valid2 = subsample_rois(jax.random.PRNGKey(1), jnp.asarray(iou2),
+                                  jnp.asarray(mask), roi_per_image=m)
+    assert np.asarray(valid2).all()
+    # no bg -> all m slots fg (wrapping the pool, reference bg==0 branch)
+    iou3 = np.full(n, 0.9, np.float32)
+    idx3, valid3 = subsample_rois(jax.random.PRNGKey(2), jnp.asarray(iou3),
+                                  jnp.asarray(mask), roi_per_image=m)
+    assert np.asarray(valid3).all()
+    # everything masked off -> all slots invalid
+    idx4, valid4 = subsample_rois(jax.random.PRNGKey(3), jnp.asarray(iou),
+                                  jnp.zeros(n, bool), roi_per_image=m)
+    assert not np.asarray(valid4).any()
