@@ -96,3 +96,40 @@ def test_trainer_prefetch_equivalence():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(_prefetch_iter(bad(), 2))
+
+
+def test_paramwise_custom_keys():
+    """Reference add_params custom_keys semantics (longest substring of the
+    dotted path wins; lr_mult scales the step, decay_mult the weight
+    decay)."""
+    import jax
+    import jax.numpy as jnp
+    from detzero_tpu.core.config import Config
+    from detzero_tpu.core.optim import build_optimizer, paramwise_multipliers
+
+    params = {
+        "backbone": {"conv1": {"kernel": jnp.ones((2, 2))}},
+        "head": {"dense": {"kernel": jnp.ones((2, 2)),
+                           "bias": jnp.zeros(2)}},
+    }
+    pw = {"custom_keys": {
+        "backbone": {"lr_mult": 0.1},
+        "backbone.conv1": {"lr_mult": 0.5, "decay_mult": 0.0},
+    }}
+    lr_t, dc_t = paramwise_multipliers(params, pw)
+    # longest key wins: backbone.conv1 beats backbone
+    assert lr_t["backbone"]["conv1"]["kernel"] == 0.5
+    assert dc_t["backbone"]["conv1"]["kernel"] == 0.0
+    assert lr_t["head"]["dense"]["kernel"] == 1.0
+
+    cfg = Config({"OPTIMIZER": "adam_onecycle", "LR": 1.0,
+                  "WEIGHT_DECAY": 0.0, "GRAD_NORM_CLIP": 0.0,
+                  "PARAMWISE": pw})
+    tx, _ = build_optimizer(cfg, total_steps=10, params=params)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, state, params)
+    # identical grads -> update magnitude ratio equals the lr_mult ratio
+    r = float(upd["backbone"]["conv1"]["kernel"][0, 0]
+              / upd["head"]["dense"]["kernel"][0, 0])
+    assert abs(r - 0.5) < 1e-5, r

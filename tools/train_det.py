@@ -53,17 +53,19 @@ def main():
                           batch["gt_boxes"], batch["gt_classes"],
                           batch["gt_valid"])
 
-    tx, _ = build_optimizer(opt_cfg, total_steps)
-    trainer = Trainer(loss_fn, tx, ckpt_dir=exp_dir / "ckpt", logger=logger,
-                      tb_dir=exp_dir / "tb",
-                      steps_per_call=args.steps_per_call)
-
     first = next(loader(0))
     variables = model.init(jax.random.PRNGKey(0), first["points"],
                            first["points_valid"])
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(variables["params"]))
     logger.info(f"model params: {n_params/1e6:.2f} M")
+
+    # params passed so PARAMWISE custom_keys (per-param lr/decay mults)
+    # can resolve against real parameter paths
+    tx, _ = build_optimizer(opt_cfg, total_steps, params=variables["params"])
+    trainer = Trainer(loss_fn, tx, ckpt_dir=exp_dir / "ckpt", logger=logger,
+                      tb_dir=exp_dir / "tb",
+                      steps_per_call=args.steps_per_call)
     trainer.init_state(variables)
     trainer.resume()
 

@@ -131,7 +131,8 @@ def main():
         variables = model.init(jax.random.PRNGKey(0), sample0["query_pts"],
                                sample0["pad_mask"])
 
-    tx, _ = build_optimizer(opt_cfg, total_steps)
+    tx, _ = build_optimizer(opt_cfg, total_steps,
+                            params=variables["params"])
     trainer = Trainer(loss_fn, tx, ckpt_dir=exp_dir / "ckpt", logger=logger,
                       log_every=10)
     trainer.init_state({"params": variables["params"],
