@@ -78,11 +78,15 @@ class DetZeroTracker:
             keep, drop = overlap_box_filter(boxes, scores, labels,
                                             self.overlap_thresh)
             keep = keep & conf
+            pose = np.asarray(fr.get("pose", np.eye(4)), float)
+            # drop data is retained in GLOBAL frame — combine_output
+            # re-merges it with the tracker's global-frame boxes
+            # (reference keeps everything global from the data_processor on)
             drop_entry = {
-                "boxes": boxes[~keep], "scores": scores[~keep],
+                "boxes": self._to_global(boxes[~keep], pose),
+                "scores": scores[~keep],
                 "labels": labels[~keep],
             }
-            pose = np.asarray(fr.get("pose", np.eye(4)), float)
             gboxes = self._to_global(boxes[keep], pose)
             entry = {
                 "boxes": gboxes, "scores": scores[keep], "labels": labels[keep],

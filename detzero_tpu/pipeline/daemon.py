@@ -134,17 +134,19 @@ def combine_output(obj_records, grm_sizes=None, prm_centers=None,
     """Merge refinement outputs into frame-level detections
     (combine_output.py:102 combine_final + convert_frame_format:44).
 
-    Returns list (per frame) of {'boxes' (N, 7) global, 'scores', 'obj_ids'}.
+    Returns list (per frame) of {'boxes' (N, 7) global, 'scores',
+    'obj_ids', 'labels'}.
     """
     if num_frames is None:
         num_frames = 1 + max(
             (int(r["sample_idx"].max()) for r in obj_records.values()
              if len(r["sample_idx"])), default=-1)
-    frames = [{"boxes": [], "scores": [], "obj_ids": []}
+    frames = [{"boxes": [], "scores": [], "obj_ids": [], "labels": []}
               for _ in range(num_frames)]
     for oid, rec in obj_records.items():
         boxes = np.asarray(rec["boxes_global"], float).copy()
         scores = np.asarray(rec["score"], float).copy()
+        label = rec.get("label", 0)
         if grm_sizes is not None and oid in grm_sizes:
             boxes[:, 3:6] = np.asarray(grm_sizes[oid])[None, :]
         if prm_centers is not None and oid in prm_centers:
@@ -157,15 +159,20 @@ def combine_output(obj_records, grm_sizes=None, prm_centers=None,
             frames[f]["boxes"].append(b[:7])
             frames[f]["scores"].append(s)
             frames[f]["obj_ids"].append(oid)
+            frames[f]["labels"].append(label)
     if drop_data is not None:
         for f, drop in enumerate(drop_data[:num_frames]):
-            for b, s in zip(drop.get("boxes", []), drop.get("scores", [])):
+            dlabels = drop.get("labels", [0] * len(drop.get("boxes", [])))
+            for b, s, l in zip(drop.get("boxes", []),
+                               drop.get("scores", []), dlabels):
                 frames[f]["boxes"].append(np.asarray(b[:7], float))
                 frames[f]["scores"].append(float(s))
                 frames[f]["obj_ids"].append(-1)
+                frames[f]["labels"].append(l)
     for fr in frames:
         fr["boxes"] = (np.stack(fr["boxes"]) if fr["boxes"]
                        else np.zeros((0, 7)))
         fr["scores"] = np.asarray(fr["scores"], float)
         fr["obj_ids"] = np.asarray(fr["obj_ids"])
+        fr["labels"] = np.asarray(fr["labels"])
     return frames

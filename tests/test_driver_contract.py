@@ -18,9 +18,13 @@ def test_bench_tiny_json_line():
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # required driver keys plus the honesty fields added in r2
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["unit"] == "frames/sec/chip"
     assert rec["value"] > 0
+    assert 0 < rec["mfu"] <= 1.0
+    assert rec["flops_per_frame"] > 0
+    assert rec["pipelined_fps"] > 0
 
 
 def test_graft_entry_surface():
