@@ -57,9 +57,11 @@ class OffboardPipeline:
                                                     "Cyclist"),
                  grm=None, prm=None, crm=None, size_anchors=None,
                  refine_batch: int = 8):
-        """grm/prm/crm: optional (model, params, sampler_cfg) triples; stages
-        without a model pass boxes through unchanged. sampler_cfg is either a
-        sampler kwargs dict or a full YAML Config (see _sampler_kwargs)."""
+        """grm/prm/crm: optional (model, params, sampler_cfg) triples, OR
+        {class_name: triple} dicts for per-class models (the reference
+        trains one GRM/PRM/CRM per class); stages without a model pass
+        boxes through unchanged. sampler_cfg is either a sampler kwargs
+        dict or a full YAML Config (see _sampler_kwargs)."""
         from detzero_tpu.core.profiling import StageTimer
 
         self.tracker = DetZeroTracker(track_cfg or {})
@@ -87,16 +89,28 @@ class OffboardPipeline:
         return (self.class_names[int(label)]
                 if not isinstance(label, str) else label)
 
-    def _refiner(self, kind):
+    def _triple(self, kind, cls):
+        """Resolve a stage's (model, params, sampler_cfg) for class `cls`:
+        per-class dict stages look up the class (missing class = stage
+        skipped for those objects); plain triples serve every class."""
+        stage = getattr(self, kind)
+        if stage is None:
+            return None
+        if isinstance(stage, dict):
+            return stage.get(cls)
+        return stage
+
+    def _refiner(self, kind, cls, triple):
         """Cache one BatchedRefiner (== one jitted vmapped forward+decode)
         per configured model."""
-        if kind not in self._refiners:
+        key = (kind, cls if isinstance(getattr(self, kind), dict) else None)
+        if key not in self._refiners:
             from detzero_tpu.models.refining.batched import BatchedRefiner
 
-            model, params, _ = getattr(self, kind)
-            self._refiners[kind] = BatchedRefiner(
+            model, params, _ = triple
+            self._refiners[key] = BatchedRefiner(
                 model, params, kind, batch_size=self.refine_batch)
-        return self._refiners[kind]
+        return self._refiners[key]
 
     def refine(self, obj_records, rng=None):
         """Run whichever of GRM/PRM/CRM are configured over all objects.
@@ -106,45 +120,59 @@ class OffboardPipeline:
         fixed-size vmapped batches — O(#objects / refine_batch) dispatches
         per sequence instead of one un-jitted apply per object per model
         (the reference batches a whole 200-box track through one forward,
-        position_transformer.py:98-126; this batches across objects too)."""
+        position_transformer.py:98-126; this batches across objects too).
+        Per-class stage dicts process each class's objects through its own
+        model; plain triples process every object through one model."""
         rng = rng or np.random.RandomState(0)
         grm_sizes, prm_centers, prm_headings, crm_scores = {}, {}, {}, {}
         oids = list(obj_records.keys())
         if not oids:
             return grm_sizes, prm_centers, prm_headings, crm_scores
 
-        if self.grm is not None:
-            sampler = rf.GRMSample(rng=rng,
-                                   **_sampler_kwargs(self.grm[2], "grm"))
-            samples = []
-            for oid in oids:
-                s = sampler(obj_records[oid])
-                cls = self._cls_name(obj_records[oid])
-                s["anchors"] = np.asarray(self.size_anchors.get(
-                    cls, self.size_anchors[self.class_names[0]]), np.float32)
-                samples.append(s)
-            for oid, size in zip(oids, self._refiner("grm").run(samples)):
-                grm_sizes[oid] = np.asarray(size)
+        by_cls = {}
+        for oid in oids:
+            by_cls.setdefault(self._cls_name(obj_records[oid]),
+                              []).append(oid)
 
-        if self.prm is not None or self.crm is not None:
-            cfg = (self.prm or self.crm)[2]
-            sampler = rf.PRMSample(training=False, rng=rng,
-                                   **_sampler_kwargs(cfg, "prm"))
-            samples = [sampler(obj_records[oid]) for oid in oids]
-            if self.prm is not None:
-                for oid, s, (c_loc, h_loc) in zip(
-                        oids, samples, self._refiner("prm").run(samples)):
-                    t = int(s["pad_mask"].sum())
-                    c, h = rf.revert_prm_to_world(
-                        np.asarray(c_loc)[:t], np.asarray(h_loc)[:t],
-                        s["init_box"])
-                    prm_centers[oid] = c
-                    prm_headings[oid] = h
-            if self.crm is not None:
-                for oid, s, conf in zip(
-                        oids, samples, self._refiner("crm").run(samples)):
-                    t = int(s["pad_mask"].sum())
-                    crm_scores[oid] = np.asarray(conf)[:t]
+        for cls, ids in by_cls.items():
+            grm = self._triple("grm", cls)
+            prm = self._triple("prm", cls)
+            crm = self._triple("crm", cls)
+            if grm is not None:
+                sampler = rf.GRMSample(rng=rng,
+                                       **_sampler_kwargs(grm[2], "grm"))
+                samples = []
+                for oid in ids:
+                    s = sampler(obj_records[oid])
+                    s["anchors"] = np.asarray(self.size_anchors.get(
+                        cls, self.size_anchors[self.class_names[0]]),
+                        np.float32)
+                    samples.append(s)
+                refiner = self._refiner("grm", cls, grm)
+                for oid, size in zip(ids, refiner.run(samples)):
+                    grm_sizes[oid] = np.asarray(size)
+
+            if prm is not None or crm is not None:
+                cfg = (prm or crm)[2]
+                sampler = rf.PRMSample(training=False, rng=rng,
+                                       **_sampler_kwargs(cfg, "prm"))
+                samples = [sampler(obj_records[oid]) for oid in ids]
+                if prm is not None:
+                    refiner = self._refiner("prm", cls, prm)
+                    for oid, s, (c_loc, h_loc) in zip(
+                            ids, samples, refiner.run(samples)):
+                        t = int(s["pad_mask"].sum())
+                        c, h = rf.revert_prm_to_world(
+                            np.asarray(c_loc)[:t], np.asarray(h_loc)[:t],
+                            s["init_box"])
+                        prm_centers[oid] = c
+                        prm_headings[oid] = h
+                if crm is not None:
+                    refiner = self._refiner("crm", cls, crm)
+                    for oid, s, conf in zip(
+                            ids, samples, refiner.run(samples)):
+                        t = int(s["pad_mask"].sum())
+                        crm_scores[oid] = np.asarray(conf)[:t]
         return grm_sizes, prm_centers, prm_headings, crm_scores
 
     # ------------------------------------------------------------------

@@ -46,8 +46,15 @@ def build_synthetic(cfg, seed, n_seq, logger=None):
     return build_detection_dataset(cfg, training=False, logger=logger)
 
 
-def run_det(cfg, ckpt_dir, dataset, logger, batch_size=4):
-    """Detector inference over the whole dataset -> det_annos list."""
+def run_det(cfg, ckpt_dir, dataset, logger, batch_size=4, nms_pre=256,
+            nms_post=128):
+    """Detector inference over the whole dataset -> det_annos list.
+
+    nms_pre/nms_post default far below the Waymo-scale budgets: synthetic
+    scenes hold <=32 objects and the CPU KxK rotated-IoU NMS dominates
+    runtime quadratically (1024^2 -> ~17 s/frame; 256^2 -> ~1 s)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +69,8 @@ def run_det(cfg, ckpt_dir, dataset, logger, batch_size=4):
     logger.info(f"detector checkpoint step {step}")
     variables = {"params": state["params"],
                  "batch_stats": state.get("batch_stats", {})}
-    predict = jax.jit(model.predict)
+    predict = jax.jit(functools.partial(model.predict, nms_pre=nms_pre,
+                                        nms_post=nms_post))
     loader = build_dataloader(dataset, batch_size, shuffle=False,
                               drop_last=False)
     det_annos = []
@@ -125,6 +133,10 @@ def main():
     for stage in ("grm", "prm", "crm"):
         p.add_argument(f"--{stage}_cfg", default=None)
         p.add_argument(f"--{stage}_ckpt", default=None)
+        p.add_argument(f"--{stage}", nargs="*", default=None,
+                       metavar="CLS=CFG:CKPT",
+                       help=f"per-class {stage} models, e.g. "
+                            f"Vehicle=cfgs/v.yaml:out/v/ckpt (repeatable)")
     args = p.parse_args()
 
     # CRITICAL ORDER: the platform must be pinned before ANY detzero_tpu
@@ -196,9 +208,17 @@ def main():
     # ---------------- ladder mode ---------------------------------------
     stages = {}
     for stage in ("grm", "prm", "crm"):
+        per_cls = getattr(args, stage)
         cfg_p = getattr(args, f"{stage}_cfg")
         ck = getattr(args, f"{stage}_ckpt")
-        if cfg_p and ck:
+        if per_cls:
+            stages[stage] = {}
+            for spec in per_cls:
+                cls, rest = spec.split("=", 1)
+                scfg, sck = rest.split(":", 1)
+                stages[stage][cls] = _load_refine(scfg, sck)
+                logger.info(f"{stage}[{cls}]: loaded {scfg} @ {sck}")
+        elif cfg_p and ck:
             stages[stage] = _load_refine(cfg_p, ck)
             logger.info(f"{stage}: loaded {cfg_p} @ {ck}")
 
