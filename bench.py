@@ -90,6 +90,45 @@ def main():
     batch = pts.shape[0]
     dev = jax.devices()[0]
 
+    # ---- optional stage breakdown (BENCH_STAGES=1): voxelize/forward/full
+    # timed separately with the same serial-scan methodology, one JSON line
+    # per stage on stderr (the driver only parses stdout's final line) -----
+    if os.environ.get("BENCH_STAGES", "0") == "1":
+        import functools
+        import sys
+
+        import __graft_entry__ as _g
+
+        model, _ = _g._build_model(tiny)
+        stages = {
+            "voxelize_plan": lambda v, p, m: model._tables(p, m),
+            "forward": lambda v, p, m: model.apply(
+                v, p, m, train=False, mutable_stats=False),
+            "full_predict": lambda v, p, m: fn(v, p, m),
+        }
+        for name, stage_fn in stages.items():
+            pk = jnp.broadcast_to(jnp.asarray(pts), (4,) + pts.shape)
+            vk = jnp.broadcast_to(jnp.asarray(pv), (4,) + pv.shape)
+
+            def fused_stage(variables, pk, vk, stage_fn=stage_fn):
+                def body(c, xy):
+                    out = stage_fn(variables, *xy)
+                    return c + jax.tree.leaves(out)[0].sum().astype(
+                        jnp.float32), 0
+                s, _ = lax.scan(body, jnp.float32(0), (pk, vk))
+                return s
+
+            sstep = jax.jit(fused_stage)
+            jax.block_until_ready(sstep(variables, pk, vk))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                jax.block_until_ready(sstep(variables, pk, vk))
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "stage": name,
+                "ms_per_frame": round(dt / (3 * 4 * batch) * 1e3, 3),
+            }), file=sys.stderr)
+
     # ---- primary: serial scan (device throughput; overlap-proof) ----------
     scan_len = int(os.environ.get("BENCH_SCAN", "2" if tiny else "8"))
     pts_k = jnp.broadcast_to(jnp.asarray(pts), (scan_len,) + pts.shape)
