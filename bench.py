@@ -62,6 +62,93 @@ def _flops_per_frame(step, args, batch: int, scan_len: int):
     return FALLBACK_FLOPS_PER_FRAME, "analytic_estimate"
 
 
+def bench_train(tiny: bool):
+    """BENCH_TRAIN=1: device time of the full training step (fwd + loss +
+    grad + adamw update) on random data, serial-scan methodology. Records
+    the train-side perf story (VERDICT r1 #10/weak 8): ms/step, GFLOP/step
+    (XLA cost analysis) and MFU. Prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax import lax
+
+    import __graft_entry__ as g
+
+    model, n_points = g._build_model(tiny)
+    b = int(os.environ.get("GRAFT_BATCH", "1"))
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-70, 70, (b, n_points, 5)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-1.5, 3.5, (b, n_points))
+    pv = np.ones((b, n_points), bool)
+    m = 32 if tiny else 500
+    gb = np.zeros((b, m, 9 if model.cfg.get("WITH_VELOCITY", True) else 7),
+                  np.float32)
+    gb[:, 0, :7] = [1, 1, 0, 4.4, 2, 1.6, 0.3]
+    gc = np.zeros((b, m), np.int32)
+    gv = np.zeros((b, m), bool)
+    gv[:, 0] = True
+
+    n_init = min(n_points, 4096)
+    variables = model.init(jax.random.PRNGKey(0), pts[:, :n_init],
+                           pv[:, :n_init])
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    def train_step(carry, _):
+        params, stats, opt_state = carry
+
+        def lfn(p):
+            loss, (aux, updates) = model.loss(
+                {"params": p, "batch_stats": stats}, pts, pv, gb, gc, gv)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(lfn, has_aux=True)(params)
+        upd, opt2 = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, upd),
+                updates.get("batch_stats", stats), opt2), loss
+
+    k = int(os.environ.get("BENCH_SCAN", "2" if tiny else "8"))
+
+    def fused(params, stats, opt_state):
+        carry, losses = lax.scan(train_step, (params, stats, opt_state),
+                                 None, length=k)
+        return carry, losses
+
+    step = jax.jit(fused, donate_argnums=(0, 2))
+    flops = None
+    try:
+        c = step.lower(params, stats, opt_state).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        flops = float(c.get("flops", 0.0)) / (k * b)
+    except Exception:
+        pass
+    carry, losses = step(params, stats, opt_state)
+    jax.block_until_ready(losses)
+    params, stats, opt_state = carry
+    n_iter = 2 if tiny else 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        carry, losses = step(*carry)
+        jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    ms_per_step = dt / (n_iter * k) * 1e3
+    dev = jax.devices()[0]
+    peak = _device_peak(dev)
+    rec = {
+        "metric": "centerpoint_train_step" + ("_tiny" if tiny else ""),
+        "value": round(ms_per_step, 3), "unit": "ms/step/chip",
+        "batch": b, "scan": k,
+        "device": getattr(dev, "device_kind", dev.platform),
+    }
+    if flops:
+        rec["flops_per_step"] = round(flops)
+        rec["mfu"] = round(flops / (ms_per_step / 1e3) / peak, 4)
+    print(json.dumps(rec))
+
+
 def main():
     import jax
     # persistent compilation cache: the full-scale model + fused NMS compile
@@ -77,6 +164,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     tiny = os.environ.get("BENCH_TINY", "0") == "1" or jax.devices()[0].platform == "cpu"
     os.environ["GRAFT_TINY"] = "1" if tiny else "0"
+    if os.environ.get("BENCH_TRAIN", "0") == "1":
+        bench_train(tiny)
+        return
     if not tiny:
         # batch 2 measured ~9% faster per frame than batch 1 on v5e (better
         # MXU utilization in the dense BEV stack); override with GRAFT_BATCH
