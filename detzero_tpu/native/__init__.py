@@ -37,6 +37,7 @@ def _load():
     lib = ctypes.CDLL(str(_SO))
     lib.load_merged_sample.restype = ctypes.c_int64
     lib.load_batch.restype = ctypes.c_int32
+    lib.crop_points_multi.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -108,3 +109,39 @@ def load_batch(batch_paths, batch_rels, batch_dts, out_stride: int,
         raise IOError("native batch loader failed")
     mask = np.arange(budget)[None, :] < n_valid[:, None]
     return out, mask
+
+
+def crop_points_multi(points, boxes, enlarge: float = 1.1,
+                      n_threads: int = 8):
+    """Per-box rotated-crop of one frame's points (global coords).
+
+    points (N, F>=3) float32; boxes (M, 7). Returns a list of M arrays —
+    the points inside each 1.1x-enlarged box — matching
+    ops/box_np.points_in_rotated_box semantics (same epsilon, z from box
+    center). Threaded C++ over boxes; the reference does this with the
+    roiaware_pool3d CUDA kernel (points_in_boxes_gpu).
+    """
+    lib = _load()
+    pts = np.ascontiguousarray(points, np.float32)
+    bxs = np.ascontiguousarray(np.asarray(boxes, np.float32)[:, :7])
+    n, stride = pts.shape if pts.ndim == 2 else (0, 3)
+    m = len(bxs)
+    if m == 0:
+        return []
+    counts = np.zeros(m, np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    total = lib.crop_points_multi(
+        pts.ctypes.data_as(fp), ctypes.c_int64(n), ctypes.c_int64(stride),
+        bxs.ctypes.data_as(fp), ctypes.c_int64(m), ctypes.c_double(enlarge),
+        None, None, counts.ctypes.data_as(ip), ctypes.c_int64(n_threads))
+    offsets = np.zeros(m, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    out = np.zeros((max(int(total), 1), stride), np.float32)
+    lib.crop_points_multi(
+        pts.ctypes.data_as(fp), ctypes.c_int64(n), ctypes.c_int64(stride),
+        bxs.ctypes.data_as(fp), ctypes.c_int64(m), ctypes.c_double(enlarge),
+        offsets.ctypes.data_as(ip), out.ctypes.data_as(fp),
+        counts.ctypes.data_as(ip), ctypes.c_int64(n_threads))
+    return [out[offsets[j]: offsets[j] + counts[j]].copy()
+            for j in range(m)]

@@ -159,4 +159,54 @@ int32_t load_batch(const char** paths, const int64_t* sweeps_per_sample,
   return failed.load();
 }
 
+// ---------------------------------------------------------------------
+// Per-object point cropping — the daemon's prepare_object_data hot loop
+// (reference analog: roiaware_pool3d points_in_boxes CUDA kernel). For
+// each of m enlarged rotated boxes, select the frame points inside it
+// (canonical transform + axis test, same epsilon as ops/box_np) and pack
+// selections consecutively per box. Two-pass ctypes API:
+//   pass 1 (out == nullptr): fill counts only, return total rows;
+//   pass 2: offsets = exclusive prefix sums of counts; fill out; returns
+//   total rows written (call with capacity >= pass-1 total).
+// Threaded over boxes (each box scans all n points independently).
+int64_t crop_points_multi(const float* pts, int64_t n, int64_t stride,
+                          const float* boxes, int64_t m, double enlarge,
+                          const int64_t* offsets, float* out,
+                          int64_t* counts, int64_t n_threads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t j = next.fetch_add(1);
+      if (j >= m) break;
+      const float* b = boxes + j * 7;
+      const double cx = b[0], cy = b[1], cz = b[2];
+      const double hx = b[3] * enlarge / 2.0 + 1e-6;
+      const double hy = b[4] * enlarge / 2.0 + 1e-6;
+      const double hz = b[5] * enlarge / 2.0 + 1e-6;
+      const double c = std::cos(-(double)b[6]), s = std::sin(-(double)b[6]);
+      float* dst = out ? out + offsets[j] * stride : nullptr;
+      int64_t cnt = 0;
+      for (int64_t i = 0; i < n; ++i) {
+        const float* p = pts + i * stride;
+        const double dx = p[0] - cx, dy = p[1] - cy, dz = p[2] - cz;
+        const double lx = dx * c - dy * s;
+        const double ly = dx * s + dy * c;
+        if (std::fabs(lx) <= hx && std::fabs(ly) <= hy &&
+            std::fabs(dz) <= hz) {
+          if (dst) std::memcpy(dst + cnt * stride, p, stride * sizeof(float));
+          ++cnt;
+        }
+      }
+      counts[j] = cnt;
+    }
+  };
+  int64_t nt = n_threads < 1 ? 1 : (n_threads > m ? m : n_threads);
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  int64_t total = 0;
+  for (int64_t j = 0; j < m; ++j) total += counts[j];
+  return total;
+}
+
 }  // extern "C"

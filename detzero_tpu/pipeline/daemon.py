@@ -60,16 +60,41 @@ def prepare_object_data(track_result, frame_points, poses, nlz_col=None,
         g[:, :3] = pts[:, :3] @ pose[:3, :3].T + pose[:3, 3]
         global_pts.append(g)
 
+    # batch all (box, frame) crop queries per frame: the threaded C++
+    # cropper (native.crop_points_multi — the roiaware_pool3d analog)
+    # scans each frame's cloud once per box in parallel; NumPy fallback
+    # keeps toolchain-free environments working
+    try:
+        from detzero_tpu import native
+        use_native = native.available()
+    except Exception:
+        use_native = False
+    queries = {}  # frame -> list of (oid, row, box)
+    for oid, t in track_result["tracks"].items():
+        boxes = np.asarray(t["boxes_global"], float)
+        frames = np.asarray(t["sample_idx"], int)
+        for row, (b, f) in enumerate(zip(boxes, frames)):
+            queries.setdefault(int(f), []).append((oid, row, b))
+    crops = {}  # (oid, row) -> points
+    for f, q in queries.items():
+        boxes_f = np.stack([b for _, _, b in q])[:, :7]
+        if use_native:
+            got = native.crop_points_multi(global_pts[f], boxes_f, enlarge)
+        else:
+            got = []
+            for b in boxes_f:
+                eb = b.copy()
+                eb[3:6] *= enlarge
+                m = box_np.points_in_rotated_box(global_pts[f], eb)
+                got.append(global_pts[f][m])
+        for (oid, row, _), c in zip(q, got):
+            crops[(oid, row)] = c
+
     out = {}
     for oid, t in track_result["tracks"].items():
         boxes = np.asarray(t["boxes_global"], float)
         frames = np.asarray(t["sample_idx"], int)
-        pts_per_frame = []
-        for b, f in zip(boxes, frames):
-            eb = b.copy()
-            eb[3:6] *= enlarge
-            m = box_np.points_in_rotated_box(global_pts[f], eb)
-            pts_per_frame.append(global_pts[f][m])
+        pts_per_frame = [crops[(oid, row)] for row in range(len(boxes))]
         rec = {
             "boxes_global": boxes.astype(np.float32),
             "score": np.asarray(t["score"], np.float32),

@@ -69,3 +69,29 @@ def test_missing_file_raises(tmp_path):
     with pytest.raises(IOError):
         native.load_merged_sample([tmp_path / "nope.npy"], [np.eye(4)], [0.0],
                                   out_stride=6, budget=16)
+
+
+def test_crop_points_multi_matches_numpy_oracle():
+    from detzero_tpu import native
+    from detzero_tpu.ops import box_np
+
+    if not native.available():
+        pytest.skip("no toolchain")
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-30, 30, (20000, 5)).astype(np.float32)
+    boxes = np.concatenate([
+        rng.uniform(-25, 25, (9, 2)), np.zeros((9, 1)),
+        rng.uniform(1, 5, (9, 3)), rng.uniform(-3, 3, (9, 1))],
+        axis=1).astype(np.float32)
+    got = native.crop_points_multi(pts, boxes, 1.1)
+    for j, b in enumerate(boxes):
+        eb = b.copy()
+        eb[3:6] *= 1.1
+        ref = pts[box_np.points_in_rotated_box(pts, eb)]
+        assert got[j].shape == ref.shape
+        np.testing.assert_allclose(
+            got[j][np.lexsort(got[j].T)], ref[np.lexsort(ref.T)])
+    # empty inputs
+    assert native.crop_points_multi(pts, np.zeros((0, 7))) == []
+    out = native.crop_points_multi(np.zeros((0, 4), np.float32), boxes)
+    assert all(len(o) == 0 for o in out)
