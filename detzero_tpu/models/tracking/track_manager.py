@@ -61,10 +61,14 @@ class TrackManager:
         self.filter_cfg = cfg.get("FILTER_CFG", {})
         self.tight_thresh = cfg.get("TIGHT_THRESH", [0.2, 0.1, 0.1])
         self.loose_thresh = cfg.get("LOOSE_THRESH", [0.3, 0.15, 0.15])
-        self.score_thresh = float(cfg.get("SCORE_THRESH", 0.5))
-        self.min_points = int(cfg.get("MIN_POINTS", 5))
+        # defaults = the reference's shipped config (waymo_detzero_track
+        # .yaml SECOND_STAGE: SCORE_THRESHOLD 0.1, POINT_THRESHOLD 0,
+        # TRACK_AGE DEATH_AGE -1): low-score detections still reach the
+        # tracker (only spawn gating), tracks never age out
+        self.score_thresh = float(cfg.get("SCORE_THRESH", 0.1))
+        self.min_points = int(cfg.get("MIN_POINTS", 0))
         # MAX_AGE < 0 = tracks never age out (reference DEATH_AGE: -1)
-        self.max_age = int(cfg.get("MAX_AGE", 10))
+        self.max_age = int(cfg.get("MAX_AGE", -1))
         self.merge_thresh = cfg.get("TRACK_MERGE_THRESH", [0.5, 0.4, 0.4])
         self.metric = cfg.get("METRIC", "iou_bev")
         self.reverse = bool(cfg.get("REVERSE", True))

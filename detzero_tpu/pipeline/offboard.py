@@ -177,9 +177,15 @@ class OffboardPipeline:
 
     # ------------------------------------------------------------------
     def run_sequence(self, det_frames, frame_points, poses, gt_boxes=None,
-                     gt_ids=None):
+                     gt_ids=None, combine_drop: bool = False):
         """Full stages 2-5 for one sequence. Returns final frame-level boxes
-        (global frame) + intermediate artifacts."""
+        (global frame) + intermediate artifacts.
+
+        combine_drop: re-merge the tracker's dropped (deduped) boxes into
+        the final frames. OFF by default like the reference
+        (combine_output.py:160 'not combine dropped objects when used as
+        auto labels' — re-adding suppressed near-duplicates costs
+        precision under Hungarian matching)."""
         with self.timer("track"):
             tr = self.track(det_frames)
         with self.timer("prepare_objects"):
@@ -194,7 +200,8 @@ class OffboardPipeline:
                 prm_centers=prm_centers or None,
                 prm_headings=prm_headings or None,
                 crm_scores=crm_scores or None,
-                drop_data=tr["drop"], num_frames=len(det_frames),
+                drop_data=tr["drop"] if combine_drop else None,
+                num_frames=len(det_frames),
             )
         return {"frames": frames, "tracks": tr, "objects": objs,
                 "timings": self.timer.as_dict()}

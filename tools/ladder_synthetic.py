@@ -70,7 +70,10 @@ def run_det(cfg, ckpt_dir, dataset, logger, batch_size=4, nms_pre=256,
     variables = {"params": state["params"],
                  "batch_stats": state.get("batch_stats", {})}
     predict = jax.jit(functools.partial(model.predict, nms_pre=nms_pre,
-                                        nms_post=nms_post))
+                                        nms_post=nms_post,
+                                        score_thresh=0.0))  # AP integrates
+    # over all operating points; a decode-time score floor only truncates
+    # the PR curve
     loader = build_dataloader(dataset, batch_size, shuffle=False,
                               drop_last=False)
     det_annos = []
