@@ -1,0 +1,215 @@
+"""Interactive sequence viewer — single-file HTML, zero dependencies.
+
+The reference ships a 1925-LoC interactive open3d GUI
+(utils/detzero_utils/visualize_utils/gui.py: sequence playback, orbit
+camera, per-object inspection). open3d needs a desktop GL stack that
+headless TPU images don't have, so this re-design targets the one runtime
+every environment DOES have: a browser. `export_sequence_html` writes a
+self-contained .html (point clouds base64-embedded as Float32Array,
+renderer in inline vanilla JS — no CDN, works offline) with:
+
+  * orbit / zoom / pan camera over the 3D cloud (drag / wheel / shift-drag);
+  * play / pause / speed / frame-slider sequence playback;
+  * predicted boxes colored by class or by track id, GT wireframes in white;
+  * score-threshold slider, GT / pred / points toggles;
+  * click a box to FOLLOW that track id across frames (camera locks on).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from pathlib import Path
+
+import numpy as np
+
+CLASS_COLOR_JS = {
+    "Vehicle": "#33cc55", "Pedestrian": "#ff5533", "Cyclist": "#4488ff",
+}
+
+
+def _pack_points(points, max_points, rng):
+    pts = np.asarray(points, np.float32)[:, :3]
+    if len(pts) > max_points:
+        pts = pts[rng.choice(len(pts), max_points, replace=False)]
+    return base64.b64encode(np.ascontiguousarray(pts).tobytes()).decode()
+
+
+def _boxes_payload(boxes, names=None, scores=None, ids=None):
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 7)
+    out = []
+    for i, b in enumerate(boxes):
+        out.append({
+            "b": [round(float(v), 3) for v in b],
+            "n": str(names[i]) if names is not None else "Vehicle",
+            "s": round(float(scores[i]), 3) if scores is not None else 1.0,
+            "id": int(ids[i]) if ids is not None else -1,
+        })
+    return out
+
+
+def export_sequence_html(frames, out_path, title="detzero_tpu sequence",
+                         max_points=15000, seed=0):
+    """frames: list of dicts {'points' (N,3+), 'boxes' (M,7)?, 'names'?,
+    'scores'?, 'obj_ids'?, 'gt_boxes'?, 'gt_names'?}. Writes out_path."""
+    rng = np.random.RandomState(seed)
+    payload = []
+    for fr in frames:
+        entry = {"pts": _pack_points(fr.get("points", np.zeros((0, 3))),
+                                     max_points, rng)}
+        if fr.get("boxes") is not None and len(np.asarray(fr["boxes"])):
+            entry["det"] = _boxes_payload(fr["boxes"], fr.get("names"),
+                                          fr.get("scores"),
+                                          fr.get("obj_ids"))
+        if fr.get("gt_boxes") is not None and len(np.asarray(fr["gt_boxes"])):
+            entry["gt"] = _boxes_payload(fr["gt_boxes"], fr.get("gt_names"))
+        payload.append(entry)
+    html = _TEMPLATE.replace("__TITLE__", title) \
+        .replace("__DATA__", json.dumps(payload)) \
+        .replace("__COLORS__", json.dumps(CLASS_COLOR_JS))
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(html)
+    return out_path
+
+
+def export_from_offboard(final_frames, frame_points, class_names=(
+        "Vehicle", "Pedestrian", "Cyclist"), gt_boxes=None, gt_names=None,
+        out_path="sequence.html", **kw):
+    """Adapter for pipeline artifacts: combine_output frames + raw points."""
+    frames = []
+    for i, fr in enumerate(final_frames):
+        labels = np.asarray(fr.get("labels", np.zeros(len(fr["boxes"]))))
+        names = [class_names[int(l)] if not isinstance(l, str) else l
+                 for l in labels]
+        frames.append({
+            "points": frame_points[i] if i < len(frame_points) else None,
+            "boxes": fr["boxes"], "names": names, "scores": fr["scores"],
+            "obj_ids": fr.get("obj_ids"),
+            "gt_boxes": gt_boxes[i] if gt_boxes is not None else None,
+            "gt_names": gt_names[i] if gt_names is not None else None,
+        })
+    return export_sequence_html(frames, out_path, **kw)
+
+
+_TEMPLATE = r"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title><style>
+ body{margin:0;background:#0b0e14;color:#cdd6e4;font:13px system-ui,sans-serif;overflow:hidden}
+ #hud{position:fixed;top:8px;left:8px;background:#141a26cc;border:1px solid #2a3550;
+      border-radius:8px;padding:10px 12px;line-height:1.9;user-select:none;z-index:2}
+ #hud input[type=range]{vertical-align:middle;width:130px}
+ #hud button{background:#22304d;color:#cdd6e4;border:1px solid #3a4a70;border-radius:5px;
+      padding:2px 10px;cursor:pointer;margin-right:4px}
+ #hud button:hover{background:#2c3d63}
+ #info{position:fixed;bottom:8px;left:8px;color:#8494b4;z-index:2}
+ canvas{display:block}
+ .sw{display:inline-block;width:10px;height:10px;border-radius:2px;margin:0 4px -1px 8px}
+</style></head><body>
+<div id="hud">
+ <div><b>__TITLE__</b></div>
+ <div><button id="play">&#9654;</button>
+  frame <input id="frame" type="range" min="0" value="0" step="1">
+  <span id="fno">0</span> &middot; <select id="fps">
+   <option>2</option><option selected>5</option><option>10</option><option>20</option></select> fps</div>
+ <div>score &ge; <input id="thr" type="range" min="0" max="100" value="0">
+  <span id="thrv">0.00</span></div>
+ <div><label><input id="showdet" type="checkbox" checked> pred</label>
+  <label><input id="showgt" type="checkbox" checked> gt</label>
+  <label><input id="showpts" type="checkbox" checked> points</label>
+  <label><input id="bytrack" type="checkbox"> color by track</label></div>
+ <div id="legend"></div>
+ <div id="follow" style="color:#7fd08f"></div>
+</div>
+<div id="info">drag orbit &middot; wheel zoom &middot; shift-drag pan &middot; click box = follow track &middot; esc = unfollow</div>
+<canvas id="cv"></canvas>
+<script>
+const DATA=__DATA__, COLORS=__COLORS__;
+const cv=document.getElementById('cv'), ctx=cv.getContext('2d');
+let W,H; function resize(){W=cv.width=innerWidth;H=cv.height=innerHeight;draw();}
+addEventListener('resize',resize);
+// decode base64 Float32Array point clouds once
+const clouds=DATA.map(f=>{const raw=atob(f.pts);const buf=new ArrayBuffer(raw.length);
+ const u8=new Uint8Array(buf);for(let i=0;i<raw.length;i++)u8[i]=raw.charCodeAt(i);
+ return new Float32Array(buf);});
+// camera state
+let yaw=-0.9,pitch=0.9,dist=60,target=[0,0,0],followId=null;
+let fi=0,playing=false;
+const el=id=>document.getElementById(id);
+el('frame').max=DATA.length-1;
+const legend=Object.entries(COLORS).map(([k,c])=>
+ `<span class="sw" style="background:${c}"></span>${k}`).join('');
+el('legend').innerHTML=legend+'<span class="sw" style="background:#fff"></span>GT';
+function proj(x,y,z){ // world -> screen (orbit camera, perspective)
+ const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+ let dx=x-target[0],dy=y-target[1],dz=z-target[2];
+ let x1=dx*cy+dy*sy, y1=-dx*sy+dy*cy;          // yaw about z
+ let y2=y1*cp+dz*sp, z2=-y1*sp+dz*cp;          // pitch
+ const d=x1+dist;                              // camera looks along -x1
+ if(d<0.5)return null;
+ const f=0.9*Math.min(W,H);
+ return [W/2+f*y2/d, H/2-f*z2/d, d];
+}
+function boxCorners(b){const[x,y,z,dx,dy,dz,h]=b;const c=Math.cos(h),s=Math.sin(h);
+ const out=[];for(const sx of[.5,-.5])for(const sy of[.5,-.5])for(const sz of[.5,-.5]){
+  const lx=sx*dx,ly=sy*dy;out.push([x+lx*c-ly*s,y+lx*s+ly*c,z+sz*dz]);}return out;}
+const EDGES=[[0,1],[0,2],[1,3],[2,3],[4,5],[4,6],[5,7],[6,7],[0,4],[1,5],[2,6],[3,7]];
+function trackColor(id){const h=(id*2654435761>>>0)%360;return `hsl(${h},75%,60%)`;}
+let boxHits=[]; // for click-to-follow
+function drawBoxes(list,useTrack,defWhite){
+ for(const o of list){
+  const thr=+el('thr').value/100; if(!defWhite&&o.s<thr)continue;
+  const col=defWhite?'#ffffff':(useTrack&&o.id>=0?trackColor(o.id):(COLORS[o.n]||'#33cc55'));
+  const cs=boxCorners(o.b).map(p=>proj(...p)); if(cs.some(p=>!p))continue;
+  ctx.strokeStyle=col;ctx.lineWidth=defWhite?1:1.6;ctx.setLineDash(defWhite?[4,3]:[]);
+  ctx.beginPath();
+  for(const[a,b2]of EDGES){ctx.moveTo(cs[a][0],cs[a][1]);ctx.lineTo(cs[b2][0],cs[b2][1]);}
+  ctx.stroke();ctx.setLineDash([]);
+  const cx=cs.reduce((s,p)=>s+p[0],0)/8, cy2=cs.reduce((s,p)=>s+p[1],0)/8;
+  if(!defWhite){boxHits.push([cx,cy2,o.id]);
+   if(o.id>=0){ctx.fillStyle=col;ctx.font='11px monospace';
+    ctx.fillText('#'+o.id+' '+o.s.toFixed(2),cx+4,cy2-4);}}
+ }}
+function draw(){
+ ctx.fillStyle='#0b0e14';ctx.fillRect(0,0,W,H);boxHits=[];
+ const f=DATA[fi];
+ if(followId!=null&&f.det){const o=f.det.find(o=>o.id===followId);
+  if(o)target=[o.b[0],o.b[1],o.b[2]];}
+ if(el('showpts').checked){const P=clouds[fi];ctx.fillStyle='#7d8db0';
+  for(let i=0;i<P.length;i+=3){const p=proj(P[i],P[i+1],P[i+2]);
+   if(p){const s=Math.max(1,Math.min(2.5,90/p[2]));ctx.fillRect(p[0],p[1],s,s);}}}
+ if(el('showgt').checked&&f.gt)drawBoxes(f.gt,false,true);
+ if(el('showdet').checked&&f.det)drawBoxes(f.det,el('bytrack').checked,false);
+ el('fno').textContent=fi;el('frame').value=fi;
+ el('thrv').textContent=(+el('thr').value/100).toFixed(2);
+ el('follow').textContent=followId!=null?('following track #'+followId):'';
+}
+// interactions
+let drag=null;
+cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];};
+addEventListener('mouseup',()=>drag=null);
+addEventListener('mousemove',e=>{if(!drag)return;
+ const dx=e.clientX-drag[0],dy=e.clientY-drag[1];
+ if(drag[2]){const cy=Math.cos(yaw),sy=Math.sin(yaw),k=dist/600;
+  target[0]-=(-dx*sy)*k; target[1]-=(dx*cy)*k; target[2]+=dy*k; followId=null;}
+ else{yaw+=dx*0.008;pitch=Math.max(0.05,Math.min(1.5,pitch+dy*0.008));}
+ drag=[e.clientX,e.clientY,drag[2]];draw();});
+cv.onwheel=e=>{dist=Math.max(5,Math.min(400,dist*(e.deltaY>0?1.12:0.89)));draw();e.preventDefault();};
+cv.onclick=e=>{let best=null,bd=25*25;
+ for(const[x,y,id]of boxHits){const d=(x-e.clientX)**2+(y-e.clientY)**2;
+  if(d<bd&&id>=0){bd=d;best=id;}}
+ if(best!=null){followId=best;draw();}};
+addEventListener('keydown',e=>{if(e.key==='Escape'){followId=null;draw();}
+ if(e.key===' '){togglePlay();e.preventDefault();}
+ if(e.key==='ArrowRight'){fi=Math.min(DATA.length-1,fi+1);draw();}
+ if(e.key==='ArrowLeft'){fi=Math.max(0,fi-1);draw();}});
+el('frame').oninput=e=>{fi=+e.target.value;draw();};
+['thr','showdet','showgt','showpts','bytrack'].forEach(id=>el(id).oninput=draw);
+let timer=null;
+function togglePlay(){playing=!playing;el('play').innerHTML=playing?'&#10074;&#10074;':'&#9654;';
+ if(timer)clearInterval(timer);
+ if(playing)timer=setInterval(()=>{fi=(fi+1)%DATA.length;draw();},1000/+el('fps').value);}
+el('play').onclick=togglePlay;
+el('fps').onchange=()=>{if(playing){togglePlay();togglePlay();}};
+resize();
+</script></body></html>
+"""

@@ -83,6 +83,9 @@ def main():
     for stage in ("grm", "prm", "crm"):
         p.add_argument(f"--{stage}_cfg", default=None)
         p.add_argument(f"--{stage}_ckpt", default=None)
+    p.add_argument("--viewer_html", action="store_true",
+                   help="also write an interactive <seq>.html viewer per "
+                        "sequence (utils/webviewer, no dependencies)")
     args = p.parse_args()
     logger = create_logger()
 
@@ -109,6 +112,12 @@ def main():
         final_frames[seq] = res["frames"]
         pipe.save_artifact(res["tracks"], out_root / f"tracking_{seq}.pkl")
         pipe.save_artifact(res["objects"], out_root / f"objects_{seq}.pkl")
+        if args.viewer_html:
+            from detzero_tpu.utils.webviewer import export_from_offboard
+            export_from_offboard(res["frames"], pts,
+                                 class_names=tuple(args.class_names),
+                                 out_path=out_root / f"{seq}.html",
+                                 title=seq)
     pipe.save_artifact(final_frames, out_root / "final_frames.pkl")
     logger.info("stage timings:\n" + pipe.timer.report())
     logger.info(f"wrote {out_root / 'final_frames.pkl'}")
