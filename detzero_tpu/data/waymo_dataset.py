@@ -176,7 +176,36 @@ class SyntheticWaymoDataset(DatasetTemplate):
         # per-frame jitter rng (points differ each frame)
         rng = np.random.RandomState(self.seed + index)
         for b in boxes:
-            local = rng.uniform(-0.5, 0.5, (120, 3)) * (b[3:6] * 0.95)
+            # SURFACE-sampled points (lidar sees shells, not volumes):
+            # top face + the two long sides + front/back, area-weighted —
+            # a strong, generalizable shape/heading cue. A volume-uniform
+            # blob (r1 generator) was learnable only by memorization.
+            n_pts = 120
+            dx, dy, dz = b[3:6]
+            faces = np.array([dx * dy, dx * dz, dx * dz, dy * dz, dy * dz])
+            k = rng.multinomial(n_pts, faces / faces.sum())
+            u = rng.uniform(-0.5, 0.5, (n_pts, 2))
+            local = np.empty((n_pts, 3))
+            i0 = 0
+            for fi, kk in enumerate(k):
+                sl = slice(i0, i0 + kk)
+                if fi == 0:    # top
+                    local[sl] = np.c_[u[sl, 0] * dx, u[sl, 1] * dy,
+                                      np.full(kk, 0.5 * dz)]
+                elif fi == 1:  # +y side
+                    local[sl] = np.c_[u[sl, 0] * dx, np.full(kk, 0.5 * dy),
+                                      u[sl, 1] * dz]
+                elif fi == 2:  # -y side
+                    local[sl] = np.c_[u[sl, 0] * dx, np.full(kk, -0.5 * dy),
+                                      u[sl, 1] * dz]
+                elif fi == 3:  # front (+x): slightly denser jitter marks it
+                    local[sl] = np.c_[np.full(kk, 0.5 * dx),
+                                      u[sl, 0] * dy, u[sl, 1] * dz]
+                else:          # back (-x)
+                    local[sl] = np.c_[np.full(kk, -0.5 * dx),
+                                      u[sl, 0] * dy, u[sl, 1] * dz]
+                i0 += kk
+            local += rng.randn(n_pts, 3) * 0.02  # sensor noise
             c, s = np.cos(b[6]), np.sin(b[6])
             world = local.copy()
             world[:, 0] = local[:, 0] * c - local[:, 1] * s + b[0]
