@@ -48,18 +48,28 @@ def _device_peak(dev) -> float:
     return 197e12 if dev.platform == "tpu" else 1e12
 
 
-def _flops_per_frame(step, args, batch: int, scan_len: int):
-    """XLA's own FLOP count for the compiled executable, per frame."""
+def _aot_compile(step, *args):
+    """Compile ONCE ahead-of-time and return (callable, flops_or_None).
+
+    The compiled executable serves BOTH the timing loop and cost_analysis —
+    calling .lower().compile() after a traced call would compile the same
+    graph a second time, and TPU compiles here go through a ~23-min remote
+    service whose cache does not hit across compilations (ADVICE r2)."""
     try:
-        cost = step.lower(*args).compile().cost_analysis()
+        compiled = step.lower(*args).compile()
+    except Exception:
+        return step, None  # fall back to traced jit + analytic estimate
+    flops = None
+    try:
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            return flops / (batch * scan_len), "xla_cost_analysis"
+        f = float(cost.get("flops", 0.0))
+        if f > 0:
+            flops = f
     except Exception:
         pass
-    return FALLBACK_FLOPS_PER_FRAME, "analytic_estimate"
+    return compiled, flops
 
 
 def bench_train(tiny: bool):
@@ -116,15 +126,9 @@ def bench_train(tiny: bool):
                                  None, length=k)
         return carry, losses
 
-    step = jax.jit(fused, donate_argnums=(0, 2))
-    flops = None
-    try:
-        c = step.lower(params, stats, opt_state).compile().cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        flops = float(c.get("flops", 0.0)) / (k * b)
-    except Exception:
-        pass
+    step, total_flops = _aot_compile(jax.jit(fused, donate_argnums=(0, 2)),
+                                     params, stats, opt_state)
+    flops = total_flops / (k * b) if total_flops else None
     carry, losses = step(params, stats, opt_state)
     jax.block_until_ready(losses)
     params, stats, opt_state = carry
@@ -234,10 +238,11 @@ def main():
         s, outs = lax.scan(body, jnp.float32(0), (pts_k, pv_k))
         return s, outs
 
-    step = jax.jit(fused)
     args = (variables, pts_k, pv_k)
+    # ONE compile serves warmup, the timing loop and cost_analysis
+    step, total_flops = _aot_compile(jax.jit(fused), *args)
     out = step(*args)
-    jax.block_until_ready(out)  # compile + warmup
+    jax.block_until_ready(out)  # warmup execution
 
     n_iter = 2 if tiny else 3
     t0 = time.perf_counter()
@@ -257,7 +262,12 @@ def main():
     jax.block_until_ready(outs)
     pipelined_fps = n_pipe * batch / (time.perf_counter() - t0)
 
-    flops_per_frame, flops_src = _flops_per_frame(step, args, batch, scan_len)
+    if total_flops:
+        flops_per_frame = total_flops / (batch * scan_len)
+        flops_src = "xla_cost_analysis"
+    else:
+        flops_per_frame, flops_src = FALLBACK_FLOPS_PER_FRAME, \
+            "analytic_estimate"
     peak = _device_peak(dev)
     mfu = flops_per_frame * fps / peak
     assert mfu <= 1.0, (

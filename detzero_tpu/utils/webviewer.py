@@ -74,16 +74,27 @@ def export_sequence_html(frames, out_path, title="detzero_tpu sequence",
 
 
 def export_from_offboard(final_frames, frame_points, class_names=(
-        "Vehicle", "Pedestrian", "Cyclist"), gt_boxes=None, gt_names=None,
-        out_path="sequence.html", **kw):
-    """Adapter for pipeline artifacts: combine_output frames + raw points."""
+        "Vehicle", "Pedestrian", "Cyclist"), poses=None, gt_boxes=None,
+        gt_names=None, out_path="sequence.html", **kw):
+    """Adapter for pipeline artifacts: combine_output frames + raw points.
+
+    combine_output boxes live in the GLOBAL frame; pass the per-frame
+    lidar->global `poses` so the (lidar-frame) points are transformed to
+    match — without them, any sequence with real ego motion renders boxes
+    far from the cloud."""
     frames = []
     for i, fr in enumerate(final_frames):
         labels = np.asarray(fr.get("labels", np.zeros(len(fr["boxes"]))))
         names = [class_names[int(l)] if not isinstance(l, str) else l
                  for l in labels]
+        pts = (np.asarray(frame_points[i], np.float32)
+               if i < len(frame_points) else np.zeros((0, 3), np.float32))
+        if poses is not None and i < len(poses) and len(pts):
+            pose = np.asarray(poses[i], np.float32)
+            pts = pts.copy()
+            pts[:, :3] = pts[:, :3] @ pose[:3, :3].T + pose[:3, 3]
         frames.append({
-            "points": frame_points[i] if i < len(frame_points) else None,
+            "points": pts,
             "boxes": fr["boxes"], "names": names, "scores": fr["scores"],
             "obj_ids": fr.get("obj_ids"),
             "gt_boxes": gt_boxes[i] if gt_boxes is not None else None,

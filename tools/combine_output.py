@@ -58,12 +58,11 @@ def main():
             frames = daemon.combine_output(
                 recs, grm_sizes=g, prm_centers=pc, prm_headings=ph,
                 crm_scores=cs, drop_data=drops.get(seq))
-            if seq in final:  # merge classes
+            if seq in final:  # merge classes — every per-box array
+                import numpy as np
                 for a, b in zip(final[seq], frames):
-                    import numpy as np
-                    a["boxes"] = np.concatenate([a["boxes"], b["boxes"]])
-                    a["scores"] = np.concatenate([a["scores"], b["scores"]])
-                    a["obj_ids"] = np.concatenate([a["obj_ids"], b["obj_ids"]])
+                    for k in ("boxes", "scores", "obj_ids", "labels"):
+                        a[k] = np.concatenate([a[k], b[k]])
             else:
                 final[seq] = frames
     with open(args.output_path, "wb") as f:

@@ -114,7 +114,7 @@ def main():
         pipe.save_artifact(res["objects"], out_root / f"objects_{seq}.pkl")
         if args.viewer_html:
             from detzero_tpu.utils.webviewer import export_from_offboard
-            export_from_offboard(res["frames"], pts,
+            export_from_offboard(res["frames"], pts, poses=poses,
                                  class_names=tuple(args.class_names),
                                  out_path=out_root / f"{seq}.html",
                                  title=seq)
