@@ -198,7 +198,9 @@ class SyntheticWaymoDataset(DatasetTemplate):
                 elif fi == 2:  # -y side
                     local[sl] = np.c_[u[sl, 0] * dx, np.full(kk, -0.5 * dy),
                                       u[sl, 1] * dz]
-                elif fi == 3:  # front (+x): slightly denser jitter marks it
+                elif fi == 3:  # front (+x) — same density as back, so
+                    # heading is ambiguous mod pi (hurts APH, not AP;
+                    # IoU is symmetric under a pi flip)
                     local[sl] = np.c_[np.full(kk, 0.5 * dx),
                                       u[sl, 0] * dy, u[sl, 1] * dz]
                 else:          # back (-x)
