@@ -48,28 +48,33 @@ def _device_peak(dev) -> float:
     return 197e12 if dev.platform == "tpu" else 1e12
 
 
-def _aot_compile(step, *args):
-    """Compile ONCE ahead-of-time and return (callable, flops_or_None).
+def _flops_cpu(fn, *args):
+    """FLOP count of ONE call of `fn`, from a CPU-backend compile.
 
-    The compiled executable serves BOTH the timing loop and cost_analysis —
-    calling .lower().compile() after a traced call would compile the same
-    graph a second time, and TPU compiles here go through a ~23-min remote
-    service whose cache does not hit across compilations (ADVICE r2)."""
+    Two traps this avoids (measured on the axon tunnel):
+      * cost_analysis on a lax.scan graph counts the body ONCE regardless
+        of trip count — so analyze the single-step fn, not the scan;
+      * executables from .lower().compile() on the axon backend do NOT
+        synchronize under block_until_ready (timing through them measured
+        5674 f/s — pure dispatch), and compiling a second TPU executable
+        just for cost_analysis costs ~23 min of remote-compile. FLOPs are
+        platform-independent, and the cpu backend is always registered
+        alongside axon, so a seconds-cheap CPU compile gives the count."""
+    import jax
+
     try:
-        compiled = step.lower(*args).compile()
-    except Exception:
-        return step, None  # fall back to traced jit + analytic estimate
-    flops = None
-    try:
-        cost = compiled.cost_analysis()
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            cpu_args = jax.tree.map(
+                lambda a: jax.device_put(a, cpu)
+                if hasattr(a, "shape") else a, args)
+            cost = jax.jit(fn).lower(*cpu_args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         f = float(cost.get("flops", 0.0))
-        if f > 0:
-            flops = f
+        return f if f > 0 else None
     except Exception:
-        pass
-    return compiled, flops
+        return None
 
 
 def bench_train(tiny: bool):
@@ -126,9 +131,11 @@ def bench_train(tiny: bool):
                                  None, length=k)
         return carry, losses
 
-    step, total_flops = _aot_compile(jax.jit(fused, donate_argnums=(0, 2)),
-                                     params, stats, opt_state)
-    flops = total_flops / (k * b) if total_flops else None
+    step = jax.jit(fused, donate_argnums=(0, 2))
+    single = _flops_cpu(
+        lambda p, s, o: train_step((p, s, o), None)[0],
+        params, stats, opt_state)
+    flops = single / b if single else None
     carry, losses = step(params, stats, opt_state)
     jax.block_until_ready(losses)
     params, stats, opt_state = carry
@@ -239,10 +246,12 @@ def main():
         return s, outs
 
     args = (variables, pts_k, pv_k)
-    # ONE compile serves warmup, the timing loop and cost_analysis
-    step, total_flops = _aot_compile(jax.jit(fused), *args)
+    # traced jit for timing: on the axon backend, AOT .lower().compile()
+    # executables do NOT synchronize under block_until_ready (see
+    # _flops_cpu docstring) — the traced path does
+    step = jax.jit(fused)
     out = step(*args)
-    jax.block_until_ready(out)  # warmup execution
+    jax.block_until_ready(out)  # compile + warmup execution
 
     n_iter = 2 if tiny else 3
     t0 = time.perf_counter()
@@ -262,9 +271,10 @@ def main():
     jax.block_until_ready(outs)
     pipelined_fps = n_pipe * batch / (time.perf_counter() - t0)
 
-    if total_flops:
-        flops_per_frame = total_flops / (batch * scan_len)
-        flops_src = "xla_cost_analysis"
+    single_flops = _flops_cpu(fn, variables, pts, pv)
+    if single_flops:
+        flops_per_frame = single_flops / batch
+        flops_src = "xla_cost_analysis_cpu"
     else:
         flops_per_frame, flops_src = FALLBACK_FLOPS_PER_FRAME, \
             "analytic_estimate"

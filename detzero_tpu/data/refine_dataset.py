@@ -163,8 +163,12 @@ class WaymoPositionDataset(RefineDatasetBase):
                 np.asarray(rec["gt_boxes"], np.float32).reshape(-1, 7),
                 s["init_box"])
             t = min(len(gt), qn)
-            gt_c[:t] = gt[:t, :3]
-            gt_h[:t] = gt[:t, 6]
+            # RESIDUAL targets vs the input trajectory (reference
+            # target_assign.py:43: center_reg = traj_gt - traj) — the
+            # network refines deltas, decode adds the input box back
+            gt_c[:t] = gt[:t, :3] - s["local_boxes"][:t, :3]
+            dh = gt[:t, 6] - s["local_boxes"][:t, 6]
+            gt_h[:t] = np.arctan2(np.sin(dh), np.cos(dh))
         s["gt_centers"] = gt_c
         s["gt_headings"] = gt_h
         s["gt_mask"] = s["pad_mask"] & np.asarray(

@@ -52,7 +52,9 @@ class BatchedRefiner:
             in_axes = (None, 0, 0, 0, 0, 0)
         elif kind == "prm":
             def one(v, qp, qb, mp, pm):
-                return prm_decode(model.apply(v, qp, qb, mp, pm))
+                # residual decode: query boxes are the anchors added back
+                return prm_decode(model.apply(v, qp, qb, mp, pm),
+                                  query_boxes=qb)
 
             in_axes = (None, 0, 0, 0, 0)
         else:

@@ -97,8 +97,17 @@ def prm_loss(pred, gt_centers, gt_headings, pad_mask, center_weight=1.0,
     return total, {"prm_center": center_l1, "prm_hce": ce, "prm_hres": res_l1}
 
 
-def prm_decode(pred):
-    """Last-layer center + heading per box: (T, 3), (T,)."""
+def prm_decode(pred, query_boxes=None):
+    """Last-layer center + heading per box: (T, 3), (T,).
+
+    RESIDUAL decode (reference target_assign.py:43 'center_reg = traj_gt -
+    traj' and :94 'center_reg + pos_trajectory'): the network predicts
+    deltas against the input trajectory; query_boxes (T, 4) [x, y, z, yaw
+    in init coords] are the anchors added back. Without query_boxes the
+    raw residuals are returned (training/debug)."""
     center = pred["center"][-1]
     heading = decode_heading(pred["heading_logits"][-1], pred["heading_res"][-1])
+    if query_boxes is not None:
+        center = center + query_boxes[:, :3]
+        heading = heading + query_boxes[:, 3]
     return center, heading

@@ -106,7 +106,9 @@ def main():
                     pred = tta_apply(variables, ex["query_pts"],
                                      ex["query_boxes"], ex["memory_pts"],
                                      ex["pad_mask"])
-                    cs, hs = jax.vmap(prm_decode)(pred)
+                    # residual decode against each VARIANT's own query
+                    # boxes, before the inverse-transform fuse
+                    cs, hs = jax.vmap(prm_decode)(pred, ex["query_boxes"])
                     yield i, s, tta_mod.prm_tta_fuse(cs, hs)
             return
         chunk = 4 * refiner.batch_size  # bound host-side sample memory
