@@ -25,15 +25,23 @@ from detzero_tpu.ops import box_np
 
 def augment_full_track(obj, rng, flip=True, rot=0.78539816, scale=(0.95, 1.05)):
     """Track-consistent global flip/rot/scale of boxes + per-frame points
-    (geometry_augment.py:9 augment_full_track)."""
+    (geometry_augment.py:9 augment_full_track). The SAME transform applies
+    to gt_boxes — an r1 bug only scaled them, leaving augmented PRM
+    residual targets rotated out of alignment by meters (GRM never
+    noticed: sizes are flip/rotation-invariant)."""
     boxes = np.asarray(obj["boxes_global"], np.float64).copy()
     pts = [np.asarray(p, np.float64).copy() for p in obj["pts"]]
+    gt = (np.asarray(obj["gt_boxes"], np.float64).copy()
+          if "gt_boxes" in obj else None)
     if flip and rng.rand() < 0.5:
         boxes[:, 1] = -boxes[:, 1]
         boxes[:, 6] = -boxes[:, 6]
         for p in pts:
             if len(p):
                 p[:, 1] = -p[:, 1]
+        if gt is not None:
+            gt[:, 1] = -gt[:, 1]
+            gt[:, 6] = -gt[:, 6]
     ang = rng.uniform(-rot, rot)
     c, s = np.cos(ang), np.sin(ang)
     rotm = np.array([[c, -s], [s, c]])
@@ -42,20 +50,21 @@ def augment_full_track(obj, rng, flip=True, rot=0.78539816, scale=(0.95, 1.05)):
     for p in pts:
         if len(p):
             p[:, :2] = p[:, :2] @ rotm.T
+    if gt is not None:
+        gt[:, :2] = gt[:, :2] @ rotm.T
+        gt[:, 6] += ang
     sc = rng.uniform(*scale)
     boxes[:, :6] *= sc
     for p in pts:
         if len(p):
             p[:, :3] *= sc
+    if gt is not None:
+        gt[:, :6] *= sc
     out = dict(obj)
     out["boxes_global"] = boxes.astype(np.float32)
     out["pts"] = [p.astype(np.float32) for p in pts]
-    if "gt_boxes" in obj:
-        gt = np.asarray(obj["gt_boxes"], np.float64).copy()
-        # apply the same transform so targets stay consistent
-        if flip and boxes is not obj["boxes_global"]:
-            pass
-        out["gt_boxes"] = (gt * [sc, sc, sc, sc, sc, sc, 1]).astype(np.float32)
+    if gt is not None:
+        out["gt_boxes"] = gt.astype(np.float32)
     return out
 
 

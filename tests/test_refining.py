@@ -158,3 +158,32 @@ def test_crm_forward_loss_decode():
         params, opt, loss = step(params, opt)
     conf = np.asarray(crm_decode(model.apply(params, pts, mask)))
     assert conf[0] > conf[1] + 0.2, conf[:4]
+
+
+def test_augment_full_track_transforms_gt_consistently():
+    """r2 regression: flip/rot/scale must hit gt_boxes exactly like
+    boxes_global, or augmented PRM residual targets rotate out of
+    alignment by meters."""
+    from detzero_tpu.data.refine_dataset import augment_full_track
+
+    rng = np.random.RandomState(0)
+    t = 6
+    boxes = np.tile([5.0, 3.0, 0.2, 4.4, 2.0, 1.6, 0.7], (t, 1))
+    boxes[:, 0] += np.arange(t)
+    obj = {"boxes_global": boxes.astype(np.float32),
+           "pts": [rng.randn(10, 4).astype(np.float32) for _ in range(t)],
+           "gt_boxes": (boxes + 0.1).astype(np.float32)}
+    for seed in range(5):
+        out = augment_full_track(obj, np.random.RandomState(seed))
+        d_in = obj["gt_boxes"][:, :2] - obj["boxes_global"][:, :2]
+        d_out = out["gt_boxes"][:, :2] - out["boxes_global"][:, :2]
+        # relative offset magnitude is preserved up to the scale factor
+        np.testing.assert_allclose(
+            np.linalg.norm(d_out, axis=1) / np.linalg.norm(d_in, axis=1),
+            np.full(t, np.linalg.norm(d_out[0]) / np.linalg.norm(d_in[0])),
+            rtol=1e-5)
+        # heading delta preserved exactly (flip negates both, rot shifts both)
+        np.testing.assert_allclose(
+            out["gt_boxes"][:, 6] - out["boxes_global"][:, 6],
+            np.sign(out["boxes_global"][0, 6] / obj["boxes_global"][0, 6])
+            * (obj["gt_boxes"][:, 6] - obj["boxes_global"][:, 6]), atol=1e-6)
