@@ -137,13 +137,13 @@ def bench_train(tiny: bool):
         params, stats, opt_state)
     flops = single / b if single else None
     carry, losses = step(params, stats, opt_state)
-    jax.block_until_ready(losses)
+    float(losses.sum())  # scalar fetch: block_until_ready lies on axon
     params, stats, opt_state = carry
     n_iter = 2 if tiny else 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
         carry, losses = step(*carry)
-        jax.block_until_ready(losses)
+        float(losses.sum())
     dt = time.perf_counter() - t0
     ms_per_step = dt / (n_iter * k) * 1e3
     dev = jax.devices()[0]
@@ -220,10 +220,10 @@ def main():
                 return s
 
             sstep = jax.jit(fused_stage)
-            jax.block_until_ready(sstep(variables, pk, vk))
+            float(sstep(variables, pk, vk))  # scalar carry fetch
             t0 = time.perf_counter()
             for _ in range(3):
-                jax.block_until_ready(sstep(variables, pk, vk))
+                float(sstep(variables, pk, vk))
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "stage": name,
@@ -246,29 +246,31 @@ def main():
         return s, outs
 
     args = (variables, pts_k, pv_k)
-    # traced jit for timing: on the axon backend, AOT .lower().compile()
-    # executables do NOT synchronize under block_until_ready (see
-    # _flops_cpu docstring) — the traced path does
+    # SYNC VIA SCALAR FETCH, not block_until_ready: on the axon backend
+    # block_until_ready returns at dispatch-accept, not compute-complete
+    # (measured 183 PFLOP/s "throughput" through it); float() of the fused
+    # carry scalar forces a device->host copy that cannot complete early.
     step = jax.jit(fused)
     out = step(*args)
-    jax.block_until_ready(out)  # compile + warmup execution
+    float(out[0])  # compile + warmup execution (carry scalar fetch)
 
     n_iter = 2 if tiny else 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = step(*args)
-        jax.block_until_ready(out)  # serialize calls: no dispatch pipelining
+        float(out[0])  # serialize calls: no dispatch pipelining
     dt = time.perf_counter() - t0
     fps = n_iter * batch * scan_len / dt
 
     # ---- secondary: pipelined independent dispatches (infra rate) ---------
     single = jax.jit(fn)
     sargs = (variables, jnp.asarray(pts), jnp.asarray(pv))
-    jax.block_until_ready(single(*sargs))
+    float(jax.tree.leaves(single(*sargs))[0].sum())
     n_pipe = 4 if tiny else 20
     t0 = time.perf_counter()
     outs = [single(*sargs) for _ in range(n_pipe)]
-    jax.block_until_ready(outs)
+    for o in outs:  # fetch after ALL are issued: overlap preserved
+        float(jax.tree.leaves(o)[0].sum())
     pipelined_fps = n_pipe * batch / (time.perf_counter() - t0)
 
     single_flops = _flops_cpu(fn, variables, pts, pv)
