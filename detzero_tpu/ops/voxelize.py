@@ -132,15 +132,58 @@ def scatter_to_dense_bev(features, coords_zyx, mask, grid_zyx, reduce_z: bool = 
 
     With reduce_z=True, stacks z-slices into channels like the reference's
     HeightCompression (height_compression.py:4): output (H, W, C*nz).
+
+    TPU-native densification: instead of a V-row scatter-add (scatter is
+    the slowest op class on TPU and showed up as a prime suspect in the
+    r2 full-scale profile), sort the (unique) voxel ids and build the
+    dense grid as a searchsorted GATHER — every dense cell binary-searches
+    its id in the sorted table and pulls the row on hit. Voxel ids are
+    unique by construction (one row per voxel); if duplicates were ever
+    fed in, the first match wins instead of summing.
     """
-    v, c = features.shape
     nz, ny, nx = grid_zyx
-    feats = jnp.where(mask[:, None], features, 0.0)
+    n_cells = nz * ny * nx
     flat_idx = (coords_zyx[:, 0] * ny + coords_zyx[:, 1]) * nx + coords_zyx[:, 2]
-    flat_idx = jnp.where(mask, flat_idx, nz * ny * nx)
-    dense = jnp.zeros((nz * ny * nx + 1, c), features.dtype).at[flat_idx].add(feats)
-    dense = dense[:-1].reshape(nz, ny, nx, c)
+    flat_idx = jnp.where(mask, flat_idx, n_cells)  # padding past every query
+    dense = _densify(features, flat_idx, mask, n_cells).reshape(nz, ny, nx,
+                                                                -1)
     if reduce_z:
         # (nz, H, W, C) -> (H, W, nz*C): channel blocks ordered by z
+        c = features.shape[1]
         return jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * c)
     return dense
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _densify(features, flat_idx, mask, n_cells):
+    return _densify_fwd_impl(features, flat_idx, mask, n_cells)
+
+
+def _densify_fwd_impl(features, flat_idx, mask, n_cells):
+    v = features.shape[0]
+    feats = jnp.where(mask[:, None], features, 0.0)
+    order = jnp.argsort(flat_idx)  # V log V, V ~ 1e4-1e5: cheap
+    sid = flat_idx[order]
+    sfeat = feats[order]
+    q = jnp.arange(n_cells, dtype=sid.dtype)
+    pos = jnp.clip(jnp.searchsorted(sid, q), 0, v - 1)
+    hit = sid[pos] == q
+    return jnp.where(hit[:, None], sfeat[pos], 0)
+
+
+def _densify_fwd(features, flat_idx, mask, n_cells):
+    return _densify_fwd_impl(features, flat_idx, mask, n_cells), \
+        (flat_idx, mask)
+
+
+def _densify_bwd(n_cells, res, g):
+    # unique ids => each voxel row simply reads its own cell's gradient:
+    # a V-row GATHER (autodiff of the forward gather would emit an
+    # n_cells-row scatter-add instead — the op this rewrite removed)
+    flat_idx, mask = res
+    safe = jnp.clip(flat_idx, 0, n_cells - 1)
+    dfeat = jnp.where(mask[:, None], g[safe], 0.0)
+    return dfeat, None, None
+
+
+_densify.defvjp(_densify_fwd, _densify_bwd)
