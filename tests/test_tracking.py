@@ -150,3 +150,21 @@ def test_static_drift_eliminate():
         obs = t["boxes_global"][t["hit"] > 0]
         for b in t["boxes_global"][miss]:
             assert any(np.allclose(b, o) for o in obs)
+
+
+def test_drop_data_is_global_frame():
+    """r2 regression: drop entries must be pose-transformed to the GLOBAL
+    frame (combine_output re-merges them with global-frame track boxes)."""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [100.0, -50.0, 2.0]
+    boxes = np.array([[0, 0, 0, 4, 2, 1.5, 0.0],
+                      [0.05, 0, 0, 4, 2, 1.5, 0.0]], np.float32)  # dup pair
+    frames = [{"boxes": boxes, "scores": np.array([0.9, 0.5]),
+               "labels": np.array([0, 0]), "pose": pose}]
+    tracker = DetZeroTracker({})
+    seq, drops = tracker.preprocess(frames)
+    assert len(drops[0]["boxes"]) == 1  # the duplicate was dropped
+    # dropped box carries the ego translation -> global frame
+    np.testing.assert_allclose(drops[0]["boxes"][0][:3],
+                               [100.05, -50.0, 2.0], atol=1e-5)
+    assert drops[0]["labels"].tolist() == [0]
