@@ -34,9 +34,17 @@ from detzero_tpu.ops.voxelize import dynamic_voxelize
 
 
 class CenterPointNet(nn.Module):
-    """Single-sample network: voxel table -> per-head prediction dicts."""
+    """Single-sample network: voxel table -> per-head prediction dicts.
+
+    backend: '3d' voxel layout — 'pillar' (z-dense pillar structure,
+    ops/pillars.py; the TPU-fast default) or 'sorted' (sorted-id voxel
+    table, ops/sparse.py; the r2 design, kept as the cross-check oracle and
+    for the PDV second stage until its pillar voxel-query lands). Both
+    produce identical outputs from identical params
+    (tests/test_pillars.py)."""
 
     class_ids_each_head: Sequence[Sequence[int]]
+    backend: str = "pillar"
     grid_zyx: tuple = (40, 1504, 1504)
     backbone_channels: Sequence[int] = (16, 32, 64, 128)
     backbone_residual: bool = True
@@ -64,10 +72,19 @@ class CenterPointNet(nn.Module):
 
         kw = dict(use_running_average=self.use_running_average,
                   axis_names=self.axis_names, dtype=self.dtype)
-        out3d = VoxelResBackbone8x(
-            grid_zyx=self.grid_zyx, channels=self.backbone_channels,
-            residual=self.backbone_residual, name="backbone3d", **kw,
-        )(voxel_features, plan)
+        if self.backend == "pillar":
+            from detzero_tpu.models.detection.backbone3d_pillar import (
+                PillarResBackbone8x,
+            )
+            out3d = PillarResBackbone8x(
+                grid_zyx=self.grid_zyx, channels=self.backbone_channels,
+                residual=self.backbone_residual, name="backbone3d", **kw,
+            )(voxel_features, plan)
+        else:
+            out3d = VoxelResBackbone8x(
+                grid_zyx=self.grid_zyx, channels=self.backbone_channels,
+                residual=self.backbone_residual, name="backbone3d", **kw,
+            )(voxel_features, plan)
         bev = BaseBEVBackbone(
             layer_nums=self.bev_layer_nums, num_filters=self.bev_num_filters,
             name="backbone2d", **kw,
@@ -90,13 +107,26 @@ class CenterPointNet(nn.Module):
             levels = []
             for name, lvl_i, stride in (("x_conv3", 2, 4), ("x_conv4", 3, 8)):
                 ms = out3d["multi_scale_3d_features"][name]
-                lvl = {
-                    "features": jax.lax.stop_gradient(ms["features"]),
-                    "ids": ms["ids"], "mask": ms["mask"],
-                    "stride": stride, "grid_zyx": grids[lvl_i],
-                }
-                if "centroids" in plan[lvl_i]:
-                    lvl["centroids"] = plan[lvl_i]["centroids"]
+                if self.backend == "pillar":
+                    # flat (MP*nz) slot table + row LUT probe
+                    c = ms["pillar_features"].shape[-1]
+                    lvl = {
+                        "features": jax.lax.stop_gradient(
+                            ms["pillar_features"]).reshape(-1, c),
+                        "mask": ms["zmask"].reshape(-1),
+                        "lut": plan[lvl_i]["lut"], "cells": ms["cells"],
+                        "stride": stride, "grid_zyx": grids[lvl_i],
+                    }
+                    if "centroids" in plan[lvl_i]:
+                        lvl["centroids"] = plan[lvl_i]["centroids"].reshape(-1, 3)
+                else:
+                    lvl = {
+                        "features": jax.lax.stop_gradient(ms["features"]),
+                        "ids": ms["ids"], "mask": ms["mask"],
+                        "stride": stride, "grid_zyx": grids[lvl_i],
+                    }
+                    if "centroids" in plan[lvl_i]:
+                        lvl["centroids"] = plan[lvl_i]["centroids"]
                 levels.append(lvl)
             rois = dec["boxes"][:, :7]
             # BEV keypoint features: sample the 2D map at center + 4 side
@@ -155,11 +185,18 @@ class CenterPoint:
         self.capacities = tuple(model_cfg.get(
             "VOXEL_CAPACITIES", (max_voxels, max_voxels // 2,
                                  max_voxels // 4, max_voxels // 8)))
+        # 'pillar' (z-dense pillar layout — the fast TPU path) or 'sorted'
+        # (the r2 sorted-id voxel table). Pillar count <= voxel count at
+        # every level, so the voxel capacities are safe pillar budgets.
+        self.backend = model_cfg.get("BACKBONE3D", "pillar")
+        self.pillar_capacities = tuple(model_cfg.get(
+            "PILLAR_CAPACITIES", self.capacities))
         h = -(-ny // self.feature_map_stride)
         w = -(-nx // self.feature_map_stride)
         self.bev_hw = (h, w)
         self.second_stage = bool(model_cfg.get("SECOND_STAGE", False))
         self.net = CenterPointNet(
+            backend=self.backend,
             class_ids_each_head=self.class_ids_each_head,
             grid_zyx=self.grid_zyx,
             with_velocity=bool(model_cfg.get("WITH_VELOCITY", True)),
@@ -204,6 +241,23 @@ class CenterPoint:
         )
 
     def _tables(self, points, points_valid):
+        if self.backend == "pillar":
+            from detzero_tpu.models.detection.backbone3d_pillar import (
+                build_pillar_plan,
+            )
+            from detzero_tpu.ops.pillars import build_pillar_table
+
+            def one(p, v):
+                table = build_pillar_table(
+                    p, v, self.grid_zyx, self.voxel_size, self.pc_range,
+                    self.pillar_capacities[0])
+                plan = build_pillar_plan(
+                    table, self.grid_zyx, self.pillar_capacities,
+                    site_mode=self.site_mode,
+                    with_centroids=self.second_stage)
+                return table, plan
+
+            return jax.vmap(one)(points, points_valid)
         table = jax.vmap(self.voxelize)(points, points_valid)
         plan = jax.vmap(self.build_plan)(table)
         return table, plan
@@ -215,7 +269,9 @@ class CenterPoint:
 
         def _init(rng, points, points_valid):
             table, plan = self._tables(points, points_valid)
-            return self.net.init(rng, table["voxel_features"], plan,
+            feats = table["feats" if self.backend == "pillar"
+                          else "voxel_features"]
+            return self.net.init(rng, feats, plan,
                                  method=self._vmapped_call())
 
         return jax.jit(_init)(rng, points, points_valid)
@@ -223,15 +279,17 @@ class CenterPoint:
     def apply(self, variables, points, points_valid, train: bool,
               mutable_stats: bool = True):
         table, plan = self._tables(points, points_valid)
+        feats = table["feats" if self.backend == "pillar"
+                      else "voxel_features"]
         net = self.net if train else self.eval_net
         fn = self._vmapped_call()
         if train and mutable_stats:
             (preds, out3d), updates = net.apply(
-                variables, table["voxel_features"], plan, method=fn,
+                variables, feats, plan, method=fn,
                 mutable=["batch_stats"],
             )
             return preds, out3d, updates
-        preds, out3d = net.apply(variables, table["voxel_features"], plan, method=fn)
+        preds, out3d = net.apply(variables, feats, plan, method=fn)
         return preds, out3d, {}
 
     def loss(self, variables, points, points_valid, gt_boxes, gt_classes,

@@ -82,14 +82,27 @@ class PDVHead(nn.Module):
             coords = jnp.floor((flat - pc_min) / (vs * stride)).astype(jnp.int32)
             coords = jnp.clip(coords[:, ::-1], 0,
                               jnp.asarray([nz - 1, ny - 1, nx - 1]))  # zyx
-            idx, found = pn2.voxel_query(coords, lvl["ids"], (nz, ny, nx),
-                                         max_range=1, nsample=self.nsample)
+            if "lut" in lvl:  # pillar backend: LUT probe, flat slot table
+                from detzero_tpu.ops import pillars as _pillars
+                idx, found = _pillars.voxel_query_pillar(
+                    coords, lvl["lut"], lvl["mask"], nz, (ny, nx),
+                    max_range=1, nsample=self.nsample)
+            else:  # sorted-table backend: searchsorted probe
+                idx, found = pn2.voxel_query(coords, lvl["ids"], (nz, ny, nx),
+                                             max_range=1, nsample=self.nsample)
             found = found & lvl["mask"][idx]
             feats = lvl["features"][idx]  # (RG, S, C)
             if "centroids" in lvl:
                 # PDV: relative position to the voxel's POINT CENTROID
                 # (pdv_head.py:592 PDVHead vs VoxelCenterHead:567)
                 centers = lvl["centroids"][idx]
+            elif "lut" in lvl:
+                vz = (idx % nz).astype(jnp.float32)
+                cell = lvl["cells"][idx // nz]
+                vy = (cell // nx).astype(jnp.float32)
+                vx = (cell % nx).astype(jnp.float32)
+                centers = (jnp.stack([vx, vy, vz], -1)
+                           + 0.5) * (vs * stride) + pc_min
             else:
                 vids = lvl["ids"][idx]
                 vz = vids // (ny * nx)

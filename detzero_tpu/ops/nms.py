@@ -59,9 +59,15 @@ def nms_bev(boxes, scores, thresh: float, pre_max: int = 512, post_max: int = 12
     valid = jnp.isfinite(top_scores)
     bev = boxes3d_to_bev(top_boxes)
     if rotated and _fused_nms_available():
-        # single fused kernel: IoU matrix + greedy walk entirely in VMEM
+        # gridded Pallas IoU matrix (one 128x128 tile program — compiles in
+        # seconds) + XLA greedy walk. The old fully-fused VMEM kernel
+        # (pallas_iou.nms_keep_mask) produced identical keeps but its
+        # k//128-squared unrolled clip macros cost ~33 MINUTES of Mosaic
+        # compile at k=1024 inside every model executable (measured r3,
+        # tools/bisect_perf.py) for ~2 ms of runtime win — a bad trade.
         from detzero_tpu.ops import pallas_iou
-        keep = pallas_iou.nms_keep_mask(bev, valid, thresh)
+        iou = pallas_iou.boxes_iou_bev(bev, bev)
+        keep = _greedy_suppress(iou, valid, thresh)
     else:
         iou = (boxes_iou_bev(bev, bev) if rotated
                else boxes_iou_normal(top_boxes, top_boxes))

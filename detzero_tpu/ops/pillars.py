@@ -1,0 +1,463 @@
+"""Z-dense pillar voxel structure — the TPU-native sparse-conv layout (r3).
+
+Why this exists (measured on TPU v5e, tools/bisect_perf.py): the r2 sorted-
+voxel-table design paid for neighbor lookup with `jnp.searchsorted`, and one
+27-neighborhood search (3.2M queries into a 120k table) costs **395 ms** on
+TPU — XLA lowers binary search to ~18 serial gather passes, and TPU gathers
+cost ~4.6 ns per *index* regardless of row width.  With ~6 such searches per
+forward the old layout spent ~1.5 s/frame on index math alone (the r2 bench:
+0.52 frames/s).  The fixes that follow from the measurements:
+
+  * make gathers FEWER and FATTER: sparse only over BEV cells (a "pillar" =
+    one occupied (y, x) cell), DENSE over z within a pillar.  A pillar row
+    is nz*C contiguous values, so a 3x3x3 conv needs 9 row gathers per
+    output instead of 27 scalar-row gathers;
+  * replace every search with a dense row LUT: one (ny*nx,) int32 table per
+    stride level, built with a single small scatter, makes neighbor lookup
+    ONE gather (measured: LUT build 64k rows ~5 ms, 450k lookups ~2 ms —
+    vs 395 ms of searchsorted);
+  * the z-extent of the conv becomes a dense conv1d along z — MXU FLOPs
+    (which are nearly free) instead of gathers;
+  * submanifold semantics (outputs only at occupied sites; reference
+    backbone3d.py:68-73 spconv SubMConv3d) are restored exactly by masking
+    conv outputs with the per-pillar z-occupancy mask;
+  * HeightCompression (reference height_compression.py:4) becomes a reshape
+    of the final pillar table plus one small scatter to the BEV grid.
+
+Everything is static-shape: a fixed pillar budget MP per stride level with a
+validity mask, dense (MP, nz, C) feature tensors, and (MP, 9) neighbor maps.
+The backward pass never scatters: the gradient of the 9-offset BEV gather is
+itself a 9-offset BEV gather through the column-reversed (stride 1) or
+explicitly-built transpose (strided) neighbor map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+INVALID_ID = jnp.iinfo(jnp.int32).max
+
+# BEV kernel offsets in (dy, dx) raster order; j and 8-j are negations.
+BEV_OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Pillar table construction (the voxelizer)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("grid_zyx", "max_pillars", "with_point_slot"))
+def build_pillar_table(points, valid, grid_zyx, voxel_size, pc_range,
+                       max_pillars, with_point_slot: bool = False):
+    """Points -> z-dense pillar table. One argsort; no searches.
+
+    Replaces both the reference CPU voxelizer (Point2VoxelCPU3d,
+    data_processor.py:61-91) and DynamicMeanVFE (vfe.py:124-146).
+
+    Args:
+        points: (P, 3+F) padded cloud, xyz first.
+        valid: (P,) bool.
+        grid_zyx: static (nz, ny, nx).
+        max_pillars: static pillar budget MP.
+        with_point_slot: also emit per-point dense slot index (adds an
+            inverse-permutation scatter; only request when needed).
+
+    Returns dict:
+        cells:    (MP,) int32 linear BEV id y*nx+x, ascending; INVALID pad.
+        coords2d: (MP, 2) int32 (y, x).
+        mask:     (MP,) bool pillar validity.
+        num_pillars: () int32.
+        feats:    (MP, nz, 3+F) per-voxel segment means (zeros where empty).
+        zmask:    (MP, nz) bool voxel occupancy.
+        [point_slot: (P,) int32 pillar_row * nz + z, or -1.]
+    """
+    p = points.shape[0]
+    nz, ny, nx = grid_zyx
+    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+    lo = jnp.asarray(pc_range[:3], dtype=points.dtype)
+    idx = jnp.floor((points[:, :3] - lo) / vs).astype(jnp.int32)  # xyz order
+    ok = (
+        valid
+        & (idx[:, 0] >= 0) & (idx[:, 0] < nx)
+        & (idx[:, 1] >= 0) & (idx[:, 1] < ny)
+        & (idx[:, 2] >= 0) & (idx[:, 2] < nz)
+    )
+    cell = idx[:, 1] * nx + idx[:, 0]          # y * nx + x
+    key = cell * nz + idx[:, 2]                 # pillar-major, z minor
+    key = jnp.where(ok, key, INVALID_ID)
+
+    order = jnp.argsort(key)
+    skey = key[order]
+    spts = points[order]
+    sok = ok[order]
+    scell = skey // nz
+    sz = skey - scell * nz
+
+    # pillar boundaries over the sorted stream
+    pfirst = jnp.concatenate([jnp.array([True]), scell[1:] != scell[:-1]]) & sok
+    prow = jnp.cumsum(pfirst.astype(jnp.int32)) - 1           # pillar index
+    in_budget = sok & (prow < max_pillars)
+    num_pillars = jnp.minimum(pfirst.sum(), max_pillars)
+
+    # dense slot per point; overflow/invalid -> dump slot
+    slot = jnp.where(in_budget, prow * nz + sz, max_pillars * nz)
+
+    sums = jax.ops.segment_sum(
+        jnp.where(in_budget[:, None], spts, 0.0), slot,
+        num_segments=max_pillars * nz + 1, indices_are_sorted=True,
+    )[:-1]
+    counts = jax.ops.segment_sum(
+        in_budget.astype(points.dtype), slot,
+        num_segments=max_pillars * nz + 1, indices_are_sorted=True,
+    )[:-1]
+    feats = (sums / jnp.maximum(counts[:, None], 1.0)).reshape(
+        max_pillars, nz, -1)
+    zmask = (counts > 0).reshape(max_pillars, nz)
+
+    # per-pillar cell id (segment_min over the sorted stream)
+    pseg = jnp.where(in_budget, prow, max_pillars)
+    cells = jax.ops.segment_min(
+        jnp.where(in_budget, scell, INVALID_ID), pseg,
+        num_segments=max_pillars + 1, indices_are_sorted=True,
+    )[:-1]
+    mask = jnp.arange(max_pillars) < num_pillars
+    cells = jnp.where(mask, cells, INVALID_ID)
+    coords2d = jnp.where(
+        mask[:, None],
+        jnp.stack([cells // nx, cells % nx], axis=1), 0).astype(jnp.int32)
+
+    out = {
+        "cells": cells.astype(jnp.int32), "coords2d": coords2d,
+        "mask": mask, "num_pillars": num_pillars,
+        "feats": feats, "zmask": zmask,
+    }
+    if with_point_slot:
+        out["point_slot"] = jnp.full(p, -1, jnp.int32).at[order].set(
+            jnp.where(in_budget, slot, -1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Row LUT + neighbor maps
+# ---------------------------------------------------------------------------
+
+def build_row_lut(cells, mask, bev_hw):
+    """Dense (ny*nx,) int32 LUT: cell -> pillar row + 1 (0 = empty).
+
+    One unique-index scatter of MP values — this replaces every searchsorted
+    of the r2 design."""
+    ny, nx = bev_hw
+    safe = jnp.where(mask, cells, ny * nx)
+    lut = jnp.zeros(ny * nx + 1, jnp.int32)
+    rows = (jnp.arange(cells.shape[0], dtype=jnp.int32) + 1) * mask
+    return lut.at[safe].max(rows, unique_indices=True)[:-1]
+
+
+def build_subm_neighbors(lut, coords2d, mask, bev_hw):
+    """(MP, 9) neighbor rows/found for a stride-1 (submanifold) conv.
+    Column j holds BEV offset BEV_OFFSETS[j]; column 8-j is its negation,
+    which is exactly the transpose map the backward pass needs."""
+    ny, nx = bev_hw
+    y, x = coords2d[:, 0], coords2d[:, 1]
+    idx_cols, fnd_cols = [], []
+    for dy, dx in BEV_OFFSETS:
+        yy, xx = y + dy, x + dx
+        inb = (yy >= 0) & (yy < ny) & (xx >= 0) & (xx < nx) & mask
+        v = lut[jnp.clip(yy * nx + xx, 0, ny * nx - 1)]
+        fnd_cols.append(inb & (v > 0))
+        idx_cols.append(jnp.maximum(v - 1, 0))
+    return jnp.stack(idx_cols, 1), jnp.stack(fnd_cols, 1)
+
+
+def build_down_neighbors(in_lut, out_coords2d, out_mask, in_bev_hw):
+    """(MPo, 9) gather map for a BEV-stride-2 conv: output (yo, xo) gathers
+    input cells (2yo+dy, 2xo+dx) (spconv SparseConv3d stride 2, padding 1;
+    reference backbone3d.py:190-195)."""
+    ny, nx = in_bev_hw
+    yo, xo = out_coords2d[:, 0], out_coords2d[:, 1]
+    idx_cols, fnd_cols = [], []
+    for dy, dx in BEV_OFFSETS:
+        yy, xx = 2 * yo + dy, 2 * xo + dx
+        inb = (yy >= 0) & (yy < ny) & (xx >= 0) & (xx < nx) & out_mask
+        v = in_lut[jnp.clip(yy * nx + xx, 0, ny * nx - 1)]
+        fnd_cols.append(inb & (v > 0))
+        idx_cols.append(jnp.maximum(v - 1, 0))
+    return jnp.stack(idx_cols, 1), jnp.stack(fnd_cols, 1)
+
+
+def build_down_transpose(out_lut, in_coords2d, in_mask, out_bev_hw):
+    """(MPi, 9) transpose map for the strided conv's input gradient: input
+    (y, x) contributed through offset (dy, dx) to output ((y-dy)/2, (x-dx)/2)
+    when divisible. Column j corresponds to forward column j."""
+    ony, onx = out_bev_hw
+    y, x = in_coords2d[:, 0], in_coords2d[:, 1]
+    idx_cols, fnd_cols = [], []
+    for dy, dx in BEV_OFFSETS:
+        ty, tx = y - dy, x - dx
+        div = (ty % 2 == 0) & (tx % 2 == 0)
+        yo, xo = ty // 2, tx // 2
+        inb = (yo >= 0) & (yo < ony) & (xo >= 0) & (xo < onx) & div & in_mask
+        v = out_lut[jnp.clip(yo * onx + xo, 0, ony * onx - 1)]
+        fnd_cols.append(inb & (v > 0))
+        idx_cols.append(jnp.maximum(v - 1, 0))
+    return jnp.stack(idx_cols, 1), jnp.stack(fnd_cols, 1)
+
+
+# ---------------------------------------------------------------------------
+# Downsampled pillar sets
+# ---------------------------------------------------------------------------
+
+def _unique_capped_cells(cand, capacity):
+    """Sorted-unique of an INVALID-padded candidate vector under a static
+    budget (same contract as ops/sparse._unique_capped)."""
+    s = jnp.sort(cand)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    first = first & (s != INVALID_ID)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(s != INVALID_ID, jnp.minimum(seg, capacity), capacity)
+    n = jnp.minimum(first.sum(), capacity)
+    out = jax.ops.segment_min(
+        jnp.where(s != INVALID_ID, s, INVALID_ID), seg,
+        num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
+    mask = jnp.arange(capacity) < n
+    return jnp.where(mask, out, INVALID_ID), mask, n
+
+
+def downsample_pillars(table, in_bev_hw, in_nz, out_capacity,
+                       site_mode: str = "principal"):
+    """Derive the stride-(2,2,2) output pillar set + z occupancy.
+
+    site_mode "principal": out voxel (zo,yo,xo) occupied iff an occupied
+    input voxel has floor-halved coords (zo,yo,xo) — the site set
+    unique(floor(coords/2)) the detector trains with (ops/sparse.py default).
+    site_mode "union": exact spconv semantics — occupied iff the 3x3x3
+    gather window around (2zo,2yo,2xo) touches any occupied input voxel.
+    """
+    ny, nx = in_bev_hw
+    ony, onx = -(-ny // 2), -(-nx // 2)
+    onz = -(-in_nz // 2)
+    cells, mask, zmask = table["cells"], table["mask"], table["zmask"]
+    y, x = cells // nx, cells % nx
+
+    if site_mode == "principal":
+        cand = jnp.where(mask, (y // 2) * onx + x // 2, INVALID_ID)
+    elif site_mode == "union":
+        cols = []
+        for dy, dx in BEV_OFFSETS:
+            ty, tx = y - dy, x - dx
+            div = (ty % 2 == 0) & (tx % 2 == 0)
+            yo, xo = ty // 2, tx // 2
+            inb = (yo >= 0) & (yo < ony) & (xo >= 0) & (xo < onx) & div & mask
+            cols.append(jnp.where(inb, yo * onx + xo, INVALID_ID))
+        cand = jnp.concatenate(cols)
+    else:
+        raise ValueError(f"unknown site_mode {site_mode!r}")
+
+    out_cells, out_mask, n_out = _unique_capped_cells(cand, out_capacity)
+    out_coords2d = jnp.where(
+        out_mask[:, None],
+        jnp.stack([out_cells // onx, out_cells % onx], 1), 0).astype(jnp.int32)
+
+    # output z occupancy from child/window zmasks
+    in_lut = build_row_lut(cells, mask, in_bev_hw)
+    pad = in_nz + (-in_nz) % 2
+    zm = jnp.pad(zmask, ((0, 0), (0, pad - in_nz)))
+    if site_mode == "principal":
+        # children pillars (2yo+{0,1}, 2xo+{0,1}); z pairs OR-reduced
+        zagg = jnp.zeros((out_cells.shape[0], onz), bool)
+        for cy in (0, 1):
+            for cx in (0, 1):
+                yy, xx = 2 * out_coords2d[:, 0] + cy, 2 * out_coords2d[:, 1] + cx
+                inb = (yy < ny) & (xx < nx) & out_mask
+                v = in_lut[jnp.clip(yy * nx + xx, 0, ny * nx - 1)]
+                child = zm[jnp.maximum(v - 1, 0)] & ((v > 0) & inb)[:, None]
+                zagg = zagg | child.reshape(-1, pad // 2, 2).any(-1)[:, :onz]
+    else:
+        # union: any occupied input in the 3-window around (2zo, 2yo, 2xo)
+        zext = jnp.pad(zmask, ((0, 0), (1, 1)))  # z-halo
+        zagg = jnp.zeros((out_cells.shape[0], onz), bool)
+        zo_idx = 2 * jnp.arange(onz)
+        for dy, dx in BEV_OFFSETS:
+            yy = 2 * out_coords2d[:, 0] + dy
+            xx = 2 * out_coords2d[:, 1] + dx
+            inb = (yy >= 0) & (yy < ny) & (xx >= 0) & (xx < nx) & out_mask
+            v = in_lut[jnp.clip(yy * nx + xx, 0, ny * nx - 1)]
+            nb = zext[jnp.maximum(v - 1, 0)] & ((v > 0) & inb)[:, None]
+            win = (nb[:, zo_idx] | nb[:, zo_idx + 1] | nb[:, zo_idx + 2])
+            zagg = zagg | win
+    zagg = zagg & out_mask[:, None]
+    return {"cells": out_cells.astype(jnp.int32), "coords2d": out_coords2d,
+            "mask": out_mask, "num_pillars": n_out, "zmask": zagg,
+            "bev_hw": (ony, onx), "nz": onz}
+
+
+def halve_zmask(zmask, out_nz):
+    """Principal-site z occupancy for a z-only stride-2 conv (the final
+    (3,1,1)/(2,1,1) layer): out z occupied iff either child z occupied."""
+    nz = zmask.shape[1]
+    pad = nz + (-nz) % 2
+    zm = jnp.pad(zmask, ((0, 0), (0, pad - nz)))
+    return zm.reshape(zmask.shape[0], pad // 2, 2).any(-1)[:, :out_nz]
+
+
+# ---------------------------------------------------------------------------
+# The conv compute: BEV gather (scatter-free VJP) + dense z conv1d
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def bev_gather(feats, idx, found, idx_t, found_t):
+    """Gather-concat of the 9 BEV neighbors directly into the conv1d input
+    layout: feats (MPi, nz, C) -> (MPo, nz, 9*C), block j = offset
+    BEV_OFFSETS[j] (zeros where not found).  The 9 per-offset gathers fuse
+    into one output buffer (no (MPo, 9, nz, C) + transpose copy, which at
+    L0 Waymo scale would be an extra 1.4 GB round-trip).
+
+    Backward is itself a bev_gather through the transpose map:
+        dF[q] = sum_j found_t[q, j] * dG[idx_t[q, j], :, jC:(j+1)C]
+    so no scatter ever materializes.  For stride-1 maps pass
+    idx_t = idx[:, ::-1] (offset negation)."""
+    mp, nz, c = feats.shape
+    flat = feats.reshape(mp, nz * c)   # FLAT rows: a (nz,C)-slice gather is
+    # 6.7x slower than the same bytes as flat rows (bisect: gather3d 62 ms
+    # vs gather2d 9.2 ms) — always gather 2D
+    parts = []
+    for j in range(idx.shape[1]):
+        g = flat[idx[:, j]].reshape(-1, nz, c)
+        parts.append(jnp.where(found[:, j][:, None, None], g, 0))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _bev_gather_fwd(feats, idx, found, idx_t, found_t):
+    return bev_gather(feats, idx, found, idx_t, found_t), (idx_t, found_t)
+
+
+def _bev_gather_bwd(res, dg):
+    idx_t, found_t = res
+    nine = idx_t.shape[1]
+    mpo, nz, _ = dg.shape
+    c = dg.shape[-1] // nine
+    # one contiguous reorder (j major), then 9 flat 2D gathers
+    dgt = dg.reshape(mpo, nz, nine, c).transpose(2, 0, 1, 3).reshape(
+        nine, mpo, nz * c)
+    parts = 0.0
+    for j in range(nine):
+        rows = dgt[j][idx_t[:, j]].reshape(-1, nz, c)
+        parts = parts + jnp.where(found_t[:, j][:, None, None], rows, 0)
+    return parts.astype(dg.dtype), None, None, None, None
+
+
+bev_gather.defvjp(_bev_gather_fwd, _bev_gather_bwd)
+
+
+def pillar_conv(feats, zmask_out, idx, found, idx_t, found_t, weight,
+                z_stride: int = 1, out_nz: int | None = None,
+                preferred_dtype=jnp.float32):
+    """One sparse 3D conv on the pillar structure.
+
+    feats: (MPi, nz_in, Cin); weight: (27, Cin, Cout) in kernel_offsets_zyx
+    order (k = ((dz+1)*3 + (dy+1))*3 + (dx+1)); idx/found: (MPo, 9) BEV
+    gather map; idx_t/found_t: transpose map for the backward.
+
+    The 27-tap conv = 9-offset BEV gather + conv1d over z with a
+    (3, 9*Cin, Cout) kernel; outputs are masked to the occupied sites
+    (submanifold semantics).
+    """
+    nz_in, cin = feats.shape[1], feats.shape[2]
+    cout = weight.shape[2]
+    g = bev_gather(feats, idx, found, idx_t, found_t)     # (MPo, nz, 9*Cin)
+    # weight (27, Cin, Cout) -> (3(z-tap), 9(bev j), Cin, Cout)
+    w = weight.reshape(3, 9, cin, cout).reshape(3, 9 * cin, cout)
+    out = _zconv_matmul(g, w, z_stride, out_nz, preferred_dtype)
+    return jnp.where(zmask_out[:, :out.shape[1], None], out, 0.0)
+
+
+def _zconv_matmul(g, w3, z_stride, out_nz, preferred_dtype):
+    """z-window conv as ONE matmul with N = 3*Cout plus an overlap-add of
+    three strided slices.  lax.conv_general_dilated on (120k, 40, 144)
+    measured 12.9 ms on v5e (the implicit GEMM runs at N=Cout=16, wasting
+    7/8 of the MXU); this formulation runs the GEMM at N=3*Cout and the
+    tap alignment as cheap slices: out[z] = sum_t unf[z*s + t, t]."""
+    mpo, nz, k = g.shape
+    cout = w3.shape[2]
+    onz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
+    gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0)))
+    w2 = jnp.transpose(w3, (1, 0, 2)).reshape(k, 3 * cout)
+    unf = jnp.dot(gp.reshape(-1, k), w2,
+                  preferred_element_type=preferred_dtype)
+    unf = unf.reshape(mpo, nz + 2, 3, cout)
+    out = 0.0
+    for t in range(3):
+        part = jax.lax.slice(
+            unf, (0, t, t, 0),
+            (mpo, t + z_stride * (onz - 1) + 1, t + 1, cout),
+            (1, z_stride, 1, 1))
+        out = out + part[:, :, 0, :]
+    return out
+
+
+def z_conv(feats, zmask_out, weight, z_stride: int = 2,
+           out_nz: int | None = None, preferred_dtype=jnp.float32):
+    """The final (3,1,1)-kernel z-stride conv (reference backbone3d.py's
+    conv_out): no BEV gather at all — one strided z-window matmul."""
+    out = _zconv_matmul(feats, weight, z_stride, out_nz, preferred_dtype)
+    return jnp.where(zmask_out[:, :out.shape[1], None], out, 0.0)
+
+
+def voxel_query_pillar(query_coords_zyx, lut, zmask_flat, nz: int, bev_hw,
+                       max_range: int = 1, nsample: int = 16):
+    """Neighbor voxels of integer zyx coords through the pillar row LUT —
+    the pillar-backend replacement for ops/pointnet2.voxel_query (reference
+    voxel_query_wrapper): same (2r+1)^3 near-first probe order and
+    first-nsample compaction, but each probe is ONE LUT gather instead of a
+    binary search (the searchsorted probe costs ~12 ns/query/step on TPU;
+    see tools/bisect_perf.py).
+
+    Returns idx (M, nsample) rows into the FLAT (MP*nz) slot table +
+    found (M, nsample)."""
+    ny, nx = bev_hw
+    r = max_range
+    offs = np.stack(np.meshgrid(*([np.arange(-r, r + 1)] * 3), indexing="ij"),
+                    -1).reshape(-1, 3).astype(np.int32)
+    order = np.argsort(np.abs(offs).sum(1), kind="stable")  # near-first
+    offs = jnp.asarray(offs[order])                          # (K, 3) zyx
+    nb = query_coords_zyx[:, None, :] + offs[None, :, :]
+    inb = (
+        (nb[..., 0] >= 0) & (nb[..., 0] < nz)
+        & (nb[..., 1] >= 0) & (nb[..., 1] < ny)
+        & (nb[..., 2] >= 0) & (nb[..., 2] < nx)
+    )
+    cell = jnp.clip(nb[..., 1] * nx + nb[..., 2], 0, ny * nx - 1)
+    v = lut[cell]                                            # (M, K)
+    slot = jnp.maximum(v - 1, 0) * nz + jnp.clip(nb[..., 0], 0, nz - 1)
+    found = inb & (v > 0) & zmask_flat[slot]
+    k = offs.shape[0]
+    if k <= nsample:
+        pad = nsample - k
+        return (jnp.pad(slot, ((0, 0), (0, pad))),
+                jnp.pad(found, ((0, 0), (0, pad))))
+    # keep first nsample found (near-first order)
+    m = query_coords_zyx.shape[0]
+    rank = jnp.cumsum(found, axis=1) - 1
+    take = found & (rank < nsample)
+    rows = jnp.broadcast_to(jnp.arange(m)[:, None], found.shape)
+    safe_rank = jnp.where(take, rank, nsample)
+    idx = jnp.zeros((m, nsample + 1), jnp.int32).at[
+        rows.reshape(-1), safe_rank.reshape(-1)
+    ].max(jnp.where(take, slot, 0).reshape(-1))[:, :nsample]
+    fnd = jnp.arange(nsample)[None, :] < jnp.minimum(
+        found.sum(1), nsample)[:, None]
+    return idx, fnd
+
+
+def densify_pillars(feats, cells, mask, bev_hw):
+    """(MP, D) pillar features -> dense (ny, nx, D) BEV map via one
+    unique-index row scatter (MP is small at the final stride)."""
+    ny, nx = bev_hw
+    safe = jnp.where(mask, cells, ny * nx)
+    out = jnp.zeros((ny * nx + 1, feats.shape[-1]), feats.dtype)
+    out = out.at[safe].add(jnp.where(mask[:, None], feats, 0),
+                           unique_indices=True)
+    return out[:-1].reshape(ny, nx, -1)
