@@ -102,6 +102,15 @@ def associate_two_stage(det_boxes, det_labels, det_scores, det_npoints,
     """
     n = len(det_boxes)
     det_boxes = np.asarray(det_boxes).reshape(n, -1)
+    if len(trk_boxes) == 0 and parity:
+        # reference early-return (data_association.py:74-76): with no live
+        # tracks, EVERY detection passing the point threshold spawns — the
+        # score threshold is not consulted (so weak frame-0 dets birth
+        # tracks); the rest are dropped.
+        enough_pts = np.asarray(det_npoints) >= min_points
+        new_tracks = [int(i) for i in np.flatnonzero(enough_pts)]
+        dropped = [int(i) for i in np.flatnonzero(~enough_pts)]
+        return [], [], new_tracks, [], dropped
     strong = (np.asarray(det_scores) >= score_thresh) & (
         np.asarray(det_npoints) >= min_points
     )

@@ -177,6 +177,20 @@ class TrackManager:
         # reverse-KFs keyed by track, seeded lazily when their birth frame is
         # reached in the reverse sweep
         rev_kf = {}
+        # Distractor pool from the FORWARD results (reference
+        # reverse_tracking_module, track_manager.py:219-237): at each frame
+        # the association pool of track rows is the reverse-track predictions
+        # CONCATENATED with the frame's existing non-start forward-track
+        # boxes; a weak det that matches a distractor row is absorbed
+        # (discarded) instead of being grabbed by a reverse track.
+        distract = {}
+        for t in tracks:
+            if not (t.alive and t.num_hits > 0):
+                continue
+            for i, fr in enumerate(t.frames):
+                if i == 0:
+                    continue  # 'start' row: becomes a reverse seed, not a distractor
+                distract.setdefault(fr, []).append((t.boxes[i], t.label))
         for f in range(len(seq) - 1, -1, -1):
             # seed reverse filters for tracks born at f+? (birth > f)
             cands = [t for t in tracks
@@ -213,14 +227,26 @@ class TrackManager:
                 # (data_association.py:126): ONLY weak detections, loose
                 # threshold, and every match applies with two_stage=True
                 # (track_manager.py:239) — the KF state stays untouched
-                # and the track records the predicted box
+                # and the track records the predicted box. The track rows
+                # are the reverse predictions + the frame's non-start
+                # forward boxes as discard-on-match distractors
+                # (track_manager.py:219-237).
                 weak = (scores[free_idx] < self.score_thresh) | \
                        (npts[free_idx] < self.min_points)
                 pool = free_idx[weak]
+                n_real = len(cands)
+                dis = distract.get(f, [])
+                if dis:
+                    pred = np.concatenate(
+                        [pred, np.asarray([b[:7] for b, _ in dis],
+                                          float).reshape(-1, 7)])
+                    trk_labels = np.concatenate(
+                        [trk_labels,
+                         np.array([l for _, l in dis], dtype=object)])
                 m, _, _ = associate_one_stage(
                     boxes[pool], labels[pool], pred, trk_labels,
                     self.loose_thresh, self.metric)
-                matches = [(d, t) for d, t in m]
+                matches = [(d, t) for d, t in m if t < n_real]
                 stages = [1] * len(matches)
                 free_idx = pool
             else:

@@ -94,6 +94,16 @@ def _oracle_forward(seq, score_thresh=0.5, tight=0.2, loose=0.3):
         scores = np.asarray(fr["scores"], float)
         preds = np.array([t["kf"].predict() for t in tracks]).reshape(-1, 7)
 
+        if len(tracks) == 0:
+            # reference zero-track early return (data_association.py:74-76):
+            # every det passing the point threshold spawns, score ignored
+            for d in range(len(boxes)):
+                kf = _OracleKF(boxes[d], "Vehicle", scores[d])
+                tracks.append({"kf": kf, "frames": [f],
+                               "boxes": [boxes[d].copy()],
+                               "scores": [float(scores[d])], "hits": [1]})
+            continue
+
         strong = scores >= score_thresh
         si = np.where(strong)[0]
         wi = np.where(~strong)[0]
@@ -176,9 +186,25 @@ def _scene_two_vehicles(seed=2):
     return frames
 
 
+def _scene_weak_frame0(seed=3):
+    """First detection of the object is WEAK (score 0.2): the reference's
+    zero-track early return spawns it anyway (point threshold only), so the
+    track must be born at frame 0, not frame 1 (ADVICE r2 medium)."""
+    rng = np.random.RandomState(seed)
+    frames = []
+    for f in range(8):
+        boxes = np.array([[f * 0.5 + rng.randn() * 0.02, 0, 0,
+                           4.0, 2.0, 1.5, 0.0]])
+        scores = np.array([0.2 if f == 0 else 0.9])
+        frames.append({"boxes": boxes, "scores": scores,
+                       "labels": np.zeros(1, int)})
+    return frames
+
+
 @pytest.mark.parametrize("scene_fn", [_scene_slow_vehicle_with_gap,
                                       _scene_weak_stage2,
-                                      _scene_two_vehicles])
+                                      _scene_two_vehicles,
+                                      _scene_weak_frame0])
 def test_forward_matches_reference_oracle(scene_fn):
     seq = scene_fn()
     mgr = TrackManager({"SCORE_THRESH": 0.5, "MIN_POINTS": 0,

@@ -98,10 +98,12 @@ def test_tracker_survives_missed_detections():
 
 
 def test_reverse_pass_extends_track_head():
-    # moving object visible from frame 0, but weak scores in frames 0-2 so the
+    # moving object ABSENT at frame 0 (reference zero-track early return
+    # spawns even weak frame-0 dets, data_association.py:74-76, so a weak
+    # frame-0 det would birth the track) and weak in frames 1-2 — the
     # forward pass can't start the track there; reverse pass must back-fill.
-    frames = make_sequence()
-    for f in range(3):
+    frames = make_sequence(drop_frames=(0,))
+    for f in (1, 2):
         frames[f]["scores"][0] = 0.2  # below SCORE_THRESH, kept in det list
     out = DetZeroTracker({"TRACKING": {"SCORE_THRESH": 0.5, "REVERSE": True}})(frames)
     moving = [t for t in out["tracks"].values() if t["state"] == "dynamic"]

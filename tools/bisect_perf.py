@@ -319,6 +319,31 @@ def run_micro():
                                   w.astype(jnp.bfloat16))
         time_stage("pillar_conv_l0_full", pconv, (t3, w27),
                    note="one L0 pillar conv, unbatched, bf16")
+    if want("pbev_gather"):
+        from detzero_tpu.ops import pillars as _p
+        t3 = rng.randn(120_000, NZ_, NC_).astype(np.float32)
+        idx9 = rng.randint(0, 120_000, (120_000, 9)).astype(np.int32)
+        fnd9 = rng.rand(120_000, 9) < 0.5
+        def bg(f):
+            return _p.bev_gather(f.astype(jnp.bfloat16), jnp.asarray(idx9),
+                                 jnp.asarray(fnd9), jnp.asarray(idx9[:, ::-1]),
+                                 jnp.asarray(fnd9[:, ::-1]))
+        time_stage("pbev_gather_l0_bf16", bg, (t3,),
+                   note="the 9-column flat bf16 gather alone (L0 scale)")
+    if want("pzconv"):
+        from detzero_tpu.ops import pillars as _p
+        g = rng.randn(120_000, NZ_, 9 * NC_).astype(np.float32)
+        w3 = (rng.randn(3, 9 * NC_, NC_) * 0.05).astype(np.float32)
+        time_stage("pzconv_matmul_l0_f32acc",
+                   lambda gg, ww: _p._zconv_matmul(
+                       gg.astype(jnp.bfloat16), ww.astype(jnp.bfloat16),
+                       1, None, jnp.float32), (g, w3),
+                   note="overlap-add z matmul alone, f32 unf")
+        time_stage("pzconv_matmul_l0_bf16acc",
+                   lambda gg, ww: _p._zconv_matmul(
+                       gg.astype(jnp.bfloat16), ww.astype(jnp.bfloat16),
+                       1, None, jnp.bfloat16), (g, w3),
+                   note="overlap-add z matmul alone, bf16 unf")
     if want("conv1d_big"):
         nb = rng.randn(120_000, NZ_, 9 * NC_).astype(np.float32)
         wz = (rng.randn(3, 9 * NC_, NC_) * 0.05).astype(np.float32)
