@@ -120,13 +120,22 @@ def build_optimizer(opt_cfg, total_steps: int, params=None):
     clip = float(opt_cfg.get("GRAD_NORM_CLIP", 0.0))
     paramwise = opt_cfg.get("PARAMWISE", None)
 
-    if paramwise and params is not None and name != "sgd":
-        import jax
-
+    if paramwise and params is not None and name == "sgd":
+        # the reference's paramwise_cfg only pairs with Adam-family
+        # optimizers (mmcv DefaultOptimizerConstructor would apply it, but
+        # no shipped config does); silently ignoring it would train with
+        # uniform lr — refuse instead (ADVICE r2)
+        raise NotImplementedError(
+            "PARAMWISE with OPTIMIZER sgd is not supported")
+    if paramwise and params is not None:
+        # per-optimizer hyperparams must match the non-paramwise branches:
+        # 'adam'/'adam_onecycle' use b2=0.99 (fastai AdamW defaults used by
+        # the reference train.py); 'adamW' uses optax/torch 0.999
+        b2 = 0.99 if name in ("adam", "adam_onecycle") else 0.999
         lr_t, dc_t = paramwise_multipliers(params, paramwise)
         mask_t = wd_mask(params)
         core = optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.99),
+            optax.scale_by_adam(b1=0.9, b2=b2),
             _add_decayed_per_leaf(wd, dc_t, mask_t),
             optax.scale_by_learning_rate(schedule),  # includes the -1
             _scale_per_leaf(lr_t),

@@ -67,19 +67,30 @@ class PostProcessor:
         t.boxes = t.boxes[lo:hi]
         t.scores = t.scores[lo:hi]
         t.hits = t.hits[lo:hi]
+        if getattr(t, "kf_vels", None) is not None and len(t.kf_vels) >= hi:
+            t.kf_vels = t.kf_vels[lo:hi]
 
     def _velocity_optimize(self, t, dt: float = 0.1):
-        """Per-box (vx, vy). Parity: forward difference for the first
-        HEADER_LENGTH frames (velocity_optimize, post_process.py:55-70);
-        remaining entries keep the finite-difference estimate."""
+        """Per-box (vx, vy). Parity (velocity_optimize, reference
+        post_process.py:55-70): the first HEADER_LENGTH entries are
+        rewritten with forward differences; every later entry keeps the
+        KF-propagated velocity the tracker recorded (the reference stores
+        them in boxes_global[:, 7:9] and leaves them untouched — ADVICE
+        r2).  Non-parity: np.gradient central differences throughout."""
         centers = np.stack([b[:2] for b in t.boxes])
         if len(centers) == 1:
             t.velocities = np.zeros((1, 2))
             return
-        v = np.gradient(centers, axis=0) / dt
-        if self.parity:
+        if self.parity and getattr(t, "kf_vels", None) is not None \
+                and len(t.kf_vels) == len(centers):
+            v = np.stack([np.asarray(kv, float) for kv in t.kf_vels])
             n = min(self.header_length, len(centers) - 1)
             v[:n] = (centers[1:n + 1] - centers[:n]) / dt
+        else:
+            v = np.gradient(centers, axis=0) / dt
+            if self.parity:
+                n = min(self.header_length, len(centers) - 1)
+                v[:n] = (centers[1:n + 1] - centers[:n]) / dt
         t.velocities = v
 
     def _motion_classify(self, t):

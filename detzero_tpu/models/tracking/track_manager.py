@@ -29,7 +29,7 @@ from detzero_tpu.models.tracking.association import (
 
 class Track:
     __slots__ = ("tid", "label", "kf", "frames", "boxes", "scores", "hits",
-                 "alive", "birth_frame", "state", "velocities")
+                 "alive", "birth_frame", "state", "velocities", "kf_vels")
 
     def __init__(self, tid, label, kf, frame_idx, box, score):
         self.tid = tid
@@ -37,6 +37,9 @@ class Track:
         self.kf = kf
         self.frames = [frame_idx]
         self.boxes = [np.asarray(box, float)]
+        # per-frame KF (vx, vy), mirroring the reference's boxes_global
+        # [:, 7:9] record (velocity is 0 at birth)
+        self.kf_vels = [np.zeros(2)]
         self.scores = [float(score)]
         # hit code per frame (reference convention): 0 = predicted-only
         # miss, 1 = tight (stage-1) update, 2 = loose (stage-2) match that
@@ -126,6 +129,7 @@ class TrackManager:
                                  else boxes[d].copy())
                 trk.scores.append(float(scores[d]))
                 trk.hits.append(2 if two_stage else 1)
+                trk.kf_vels.append(np.asarray(trk.kf.velocity[:2], float))
                 used_f[d] = True
             for t in unmatched_t:
                 trk = active[t]
@@ -133,6 +137,7 @@ class TrackManager:
                 trk.boxes.append(trk.kf.current_box())
                 trk.scores.append(trk.scores[-1])
                 trk.hits.append(0)
+                trk.kf_vels.append(np.asarray(trk.kf.velocity[:2], float))
             for d in new_idx:
                 kf = MOTION_FILTERS.build(
                     self.filter_name, boxes[d], scores[d], labels[d], f,
@@ -270,5 +275,8 @@ class TrackManager:
                                  if two_stage else boxes[di].copy())
                 trk.scores.insert(0, float(scores[di]))
                 trk.hits.insert(0, 2 if two_stage else 1)
+                # reverse-time filter: negate to get forward-time velocity
+                trk.kf_vels.insert(0, -np.asarray(
+                    rev_kf[trk.tid].velocity[:2], float))
                 trk.birth_frame = f
                 used[f][di] = True

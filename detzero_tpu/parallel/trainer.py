@@ -85,13 +85,24 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _build_step(self):
+        import inspect
+
         tx, loss_fn = self.tx, self.loss_fn
+        # a loss_fn that accepts a third `step` argument gets the global
+        # step so it can derive a fresh per-step PRNGKey (e.g. the second
+        # stage's fg/bg RoI subsampling; ADVICE r2 — without it the
+        # gt-derived fallback key repeats across epochs)
+        takes_step = len(inspect.signature(loss_fn).parameters) >= 3
 
         def train_step(state, batch):
             def lfn(params):
-                loss, (aux, updates) = loss_fn(
-                    {"params": params, "batch_stats": state["batch_stats"]},
-                    batch)
+                variables = {"params": params,
+                             "batch_stats": state["batch_stats"]}
+                if takes_step:
+                    loss, (aux, updates) = loss_fn(variables, batch,
+                                                   state["step"])
+                else:
+                    loss, (aux, updates) = loss_fn(variables, batch)
                 return loss, (aux, updates)
 
             (loss, (aux, updates)), grads = jax.value_and_grad(

@@ -21,6 +21,8 @@ def main():
     parser = base_parser("detzero_tpu detection training")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="hard step cap (smoke runs)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="base PRNG seed (per-step keys fold the step in)")
     parser.add_argument("--steps_per_call", type=int, default=1,
                         help="optimizer steps fused into one jit call "
                              "(lax.scan; amortizes dispatch latency)")
@@ -48,10 +50,13 @@ def main():
     loader = build_dataloader(dataset, batch_size, shuffle=True,
                               num_workers=args.workers)
 
-    def loss_fn(variables, batch):
+    def loss_fn(variables, batch, step):
+        # per-step key: fresh fg/bg RoI subsample draw every step (the
+        # reference samples anew each call; ADVICE r2)
+        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step)
         return model.loss(variables, batch["points"], batch["points_valid"],
                           batch["gt_boxes"], batch["gt_classes"],
-                          batch["gt_valid"])
+                          batch["gt_valid"], rng=rng)
 
     first = next(loader(0))
     variables = model.init(jax.random.PRNGKey(0), first["points"],
