@@ -48,6 +48,7 @@ class CenterPointNet(nn.Module):
     grid_zyx: tuple = (40, 1504, 1504)
     backbone_channels: Sequence[int] = (16, 32, 64, 128)
     backbone_residual: bool = True
+    row_budget: int = 128
     bev_layer_nums: Sequence[int] = (5, 5)
     bev_num_filters: Sequence[int] = (128, 256)
     with_velocity: bool = True
@@ -72,7 +73,17 @@ class CenterPointNet(nn.Module):
 
         kw = dict(use_running_average=self.use_running_average,
                   axis_names=self.axis_names, dtype=self.dtype)
-        if self.backend == "pillar":
+        if self.backend == "pillar_pallas":
+            from detzero_tpu.models.detection.backbone3d_pallas import (
+                PallasResBackbone8x,
+            )
+            out3d = PallasResBackbone8x(
+                grid_zyx=self.grid_zyx, channels=self.backbone_channels,
+                residual=self.backbone_residual, name="backbone3d",
+                row_budget=self.row_budget,
+                with_multi_scale=self.second_stage, **kw,
+            )(voxel_features, plan)
+        elif self.backend == "pillar":
             from detzero_tpu.models.detection.backbone3d_pillar import (
                 PillarResBackbone8x,
             )
@@ -107,7 +118,7 @@ class CenterPointNet(nn.Module):
             levels = []
             for name, lvl_i, stride in (("x_conv3", 2, 4), ("x_conv4", 3, 8)):
                 ms = out3d["multi_scale_3d_features"][name]
-                if self.backend == "pillar":
+                if self.backend in ("pillar", "pillar_pallas"):
                     # flat (MP*nz) slot table + row LUT probe
                     c = ms["pillar_features"].shape[-1]
                     lvl = {
@@ -189,6 +200,8 @@ class CenterPoint:
         # (the r2 sorted-id voxel table). Pillar count <= voxel count at
         # every level, so the voxel capacities are safe pillar budgets.
         self.backend = model_cfg.get("BACKBONE3D", "pillar")
+        # per-BEV-row pillar budget for the fused-pallas rowpad layout
+        self.row_budget = int(model_cfg.get("PILLAR_ROW_BUDGET", 128))
         self.pillar_capacities = tuple(model_cfg.get(
             "PILLAR_CAPACITIES", self.capacities))
         h = -(-ny // self.feature_map_stride)
@@ -197,6 +210,7 @@ class CenterPoint:
         self.second_stage = bool(model_cfg.get("SECOND_STAGE", False))
         self.net = CenterPointNet(
             backend=self.backend,
+            row_budget=self.row_budget,
             class_ids_each_head=self.class_ids_each_head,
             grid_zyx=self.grid_zyx,
             with_velocity=bool(model_cfg.get("WITH_VELOCITY", True)),
@@ -241,7 +255,7 @@ class CenterPoint:
         )
 
     def _tables(self, points, points_valid):
-        if self.backend == "pillar":
+        if self.backend in ("pillar", "pillar_pallas"):
             from detzero_tpu.models.detection.backbone3d_pillar import (
                 build_pillar_plan,
             )
@@ -255,6 +269,11 @@ class CenterPoint:
                     table, self.grid_zyx, self.pillar_capacities,
                     site_mode=self.site_mode,
                     with_centroids=self.second_stage)
+                if self.backend == "pillar_pallas":
+                    from detzero_tpu.models.detection.backbone3d_pallas \
+                        import augment_plan_rowpad
+                    plan = augment_plan_rowpad(plan, self.grid_zyx,
+                                               self.row_budget)
                 return table, plan
 
             return jax.vmap(one)(points, points_valid)
@@ -269,7 +288,7 @@ class CenterPoint:
 
         def _init(rng, points, points_valid):
             table, plan = self._tables(points, points_valid)
-            feats = table["feats" if self.backend == "pillar"
+            feats = table["feats" if self.backend.startswith("pillar")
                           else "voxel_features"]
             return self.net.init(rng, feats, plan,
                                  method=self._vmapped_call())
@@ -279,7 +298,7 @@ class CenterPoint:
     def apply(self, variables, points, points_valid, train: bool,
               mutable_stats: bool = True):
         table, plan = self._tables(points, points_valid)
-        feats = table["feats" if self.backend == "pillar"
+        feats = table["feats" if self.backend.startswith("pillar")
                       else "voxel_features"]
         net = self.net if train else self.eval_net
         fn = self._vmapped_call()

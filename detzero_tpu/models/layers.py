@@ -33,10 +33,14 @@ class MaskedBatchNorm(nn.Module):
     epsilon: float = 1e-3
     axis_names: Sequence[str] = ()
     dtype: Any = jnp.float32
+    # channel axis of x: -1 for the (rows, ..., C) voxel layouts, 2 for the
+    # transposed row-padded pillar layout (ny, nz, C, B) of ops/pallas_pillar
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x, mask=None):
-        c = x.shape[-1]
+        ch = self.channel_axis % x.ndim
+        c = x.shape[ch]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c, jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -46,18 +50,21 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            reduce_axes = tuple(range(x.ndim - 1))
+            reduce_axes = tuple(i for i in range(x.ndim) if i != ch)
             if mask is not None:
                 m = mask.astype(jnp.float32)
-                while m.ndim < xf.ndim:
-                    m = m[..., None]
+                if ch == x.ndim - 1:
+                    while m.ndim < xf.ndim:
+                        m = m[..., None]
+                # else: caller passes a mask already broadcastable to x
                 cnt = m.sum()
                 s = (xf * m).sum(axis=reduce_axes)
                 ss = (xf * xf * m).sum(axis=reduce_axes)
             else:
                 n_rows = 1
-                for d in x.shape[:-1]:
-                    n_rows *= d
+                for i, d in enumerate(x.shape):
+                    if i != ch:
+                        n_rows *= d
                 cnt = jnp.asarray(float(n_rows))
                 s = xf.sum(axis=reduce_axes)
                 ss = (xf * xf).sum(axis=reduce_axes)
@@ -72,8 +79,13 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
+        bshape = [1] * x.ndim
+        bshape[ch] = c
+        mean_b = mean.reshape(bshape)
+        var_b = var.reshape(bshape)
+        y = (x.astype(jnp.float32) - mean_b) * jax.lax.rsqrt(
+            var_b + self.epsilon)
+        y = y * scale.reshape(bshape) + bias.reshape(bshape)
         return y.astype(self.dtype)
 
 

@@ -1,0 +1,411 @@
+"""Fused Pallas pillar-conv kernels on the row-padded BEV layout (r3).
+
+Why: the XLA pillar conv (ops/pillars.pillar_conv) materializes a 9-offset
+row gather to HBM — 1.38 GB per L0 conv — and XLA's gather tops out at
+~70 GB/s on TPU (measured, tools/bisect_perf.py), so one L0 conv costs
+~31 ms and the 18-conv backbone ~282 ms/frame.  This module removes the
+gather from the HBM path entirely:
+
+  * the pillar table is ROW-PADDED and TRANSPOSED: BEV row y owns a
+    (nz*cin, B) tile (B = static per-row pillar budget, pillars in the
+    LANE dim), so the 3x3 BEV neighborhood of every pillar in row y lives
+    in exactly three STATIC tiles — rows y-1, y, y+1.  A Pallas grid over
+    BEV rows streams those three slabs HBM->VMEM per step via plain
+    BlockSpec halo index_maps (no dynamic DMA, which Mosaic handles badly
+    on this toolchain);
+  * neighbor selection happens IN VMEM as one (nz*cin, B) x (B, B)
+    one-hot matmul per BEV tap on the MXU: oh[s, r] = (nbr[j, r] == s).
+    A missing neighbor is encoded as rank >= B and selects nothing —
+    masking is free;
+  * the z-extent of the 3x3x3 conv is an unfold matmul per z-row plus a
+    3-slice overlap-add, all on VMEM-resident data.
+
+The transposed layout exists because Mosaic supports sublane-dim reshapes
+((640, 128) -> (40, 16, 128)) but NOT lane-dim splits ((128, 640) ->
+(128, 40, 16)) — probed empirically on this toolchain; see the r3 session
+notes in COMPONENTS.md.
+
+Per-conv HBM traffic drops from 9x to ~4x the table size (3 halo reads +
+1 write) and the selection costs ~95 MFLOP of well-shaped MXU work per
+BEV row.
+
+Backward structure (no transpose maps needed for subm):
+    d_in  = rowpad_conv(d_out, nbr, weight flipped in (t, j) + ci/co swap)
+    because the neighbor-of relation is symmetric: q = p + off_j  <=>
+    p = q + off_{8-j}, and the flipped weight pairs tap j with W[8-j].
+    For the BEV-strided conv the input gradient is an 'up' conv: zero-
+    stuffed z upsampling + flipped weights, reading output rows
+    (y + dy) // 2.
+    dW is a third kernel accumulating (9*cin, 3*cout) across grid steps.
+
+Reference parity target: spconv SubMConv3d / SparseConv3d
+(detection/detzero_det/models/centerpoint_modules/backbone3d.py:68-73);
+numerics are pinned against ops/pillars.pillar_conv in
+tests/test_pallas_pillar.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# nbr arrays are (ny, NBR_ROWS, B) int32: rows 0..8 = tap ranks, rest pad
+NBR_ROWS = 16
+
+
+# ---------------------------------------------------------------------------
+# Weight layouts
+# ---------------------------------------------------------------------------
+
+def weight_fwd(weight, cin, cout):
+    """(27, Cin, Cout) spconv-order kernel (k = ((dz+1)*3+(dy+1))*3+(dx+1))
+    -> (3*Cout, 9*Cin) unfold matmul weight: row (t, co), col (j, ci)."""
+    w = weight.reshape(3, 9, cin, cout)           # (kz, bev_j, ci, co)
+    return jnp.transpose(w, (0, 3, 1, 2)).reshape(3 * cout, 9 * cin)
+
+
+def weight_bwd(weight, cin, cout):
+    """Weight for the input-gradient conv: flip t and j, swap ci/co."""
+    w = weight.reshape(3, 9, cin, cout)[::-1, ::-1]
+    return jnp.transpose(w, (0, 2, 1, 3)).reshape(3 * cin, 9 * cout)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _select(nbr_ref, slabs, g_scr, *, nz, cin, z_up):
+    """Fill g_scr (nz+2, 9*cin, B) with the 9 selected neighbor pillars
+    (zeros at the z-pad rows and where nbr >= B_in).  With z_up, each slab
+    holds nz//2 z-values that land on even z (zero-stuffed upsampling for
+    the transposed strided conv)."""
+    b_in = slabs[0].shape[1]
+    b_out = g_scr.shape[2]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b_in, b_out), 0)
+    g_scr[0] = jnp.zeros_like(g_scr[0])
+    g_scr[nz + 1] = jnp.zeros_like(g_scr[0])
+    for j in range(9):
+        oh = (nbr_ref[j:j + 1, :] == iota).astype(jnp.bfloat16)
+        src = slabs[j // 3][:].astype(jnp.bfloat16)
+        # Mosaic requires a 32-bit matmul accumulator; one-hot rows have at
+        # most one term, so the f32->bf16 round-trip is exact
+        gj = jax.lax.dot_general(src, oh, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if z_up:
+            half = gj.reshape(nz // 2, 1, cin, b_out)
+            even = jax.lax.broadcasted_iota(
+                jnp.int32, (nz // 2, 2, cin, b_out), 1) == 0
+            gj = jnp.where(even, jnp.broadcast_to(
+                half, (nz // 2, 2, cin, b_out)), 0.0)
+        g_scr[1:nz + 1, j * cin:(j + 1) * cin, :] = (
+            gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
+
+
+def _conv_kernel(nbr_ref, w_ref, slab_m, slab_0, slab_p, out_ref,
+                 g_scr, unf_scr, *, nz, cin, cout, z_stride, out_nz, z_up):
+    """One BEV row of outputs: select 9 neighbor pillars from the three
+    halo slabs, unfold-matmul each z row, overlap-add the 3 z taps."""
+    b_out = out_ref.shape[1]
+    _select(nbr_ref, (slab_m, slab_0, slab_p), g_scr,
+            nz=nz, cin=cin, z_up=z_up)
+    w = w_ref[:].astype(jnp.bfloat16)             # (3*cout, 9*cin)
+    for u in range(nz + 2):
+        unf_scr[u] = jnp.dot(w, g_scr[u],
+                             preferred_element_type=jnp.float32)
+    acc = None
+    for t in range(3):
+        span = z_stride * (out_nz - 1) + 1
+        if z_stride == 1:
+            part = unf_scr[t:t + span, t * cout:(t + 1) * cout, :]
+        else:
+            # even-length slice + leading-dim reshape drops odd positions
+            part = unf_scr[t:t + span + 1, t * cout:(t + 1) * cout, :]
+            part = part.reshape(out_nz, 2, cout, b_out)[:, 0]
+        acc = part if acc is None else acc + part
+    out_ref[:] = acc.reshape(out_nz * cout, b_out).astype(out_ref.dtype)
+
+
+def _dw_kernel(nbr_ref, dout_ref, slab_m, slab_0, slab_p, dw_ref,
+               g_scr, ug_scr, *, nz, cin, cout, z_stride, out_nz):
+    """Accumulate the weight gradient over the grid: rebuild the gathered
+    block g (as in forward), scatter d_out into the unfold layout (adjoint
+    of the overlap-add), contract.  dw (3*cout, 9*cin) f32 with a constant
+    out index_map, so grid steps accumulate."""
+    i = pl.program_id(0)
+    b = dout_ref.shape[1]
+    _select(nbr_ref, (slab_m, slab_0, slab_p), g_scr,
+            nz=nz, cin=cin, z_up=False)
+    dout = dout_ref[:].reshape(out_nz, cout, b).astype(jnp.bfloat16)
+    if z_stride == 2:
+        half = dout.reshape(out_nz, 1, cout, b)
+        even = jax.lax.broadcasted_iota(
+            jnp.int32, (out_nz, 2, cout, b), 1) == 0
+        dout = jnp.where(even, jnp.broadcast_to(
+            half, (out_nz, 2, cout, b)), 0.0).reshape(2 * out_nz, cout, b)
+    span = dout.shape[0]
+    # unf gradient: column block t holds d_out at z rows [t, t+span)
+    for u in (0, 1, nz, nz + 1):
+        ug_scr[u] = jnp.zeros((3 * cout, b), ug_scr.dtype)
+    for t in range(3):
+        ug_scr[t:t + span, t * cout:(t + 1) * cout, :] = dout
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    acc = dw_ref[:]
+    for u in range(nz + 2):
+        acc = acc + jax.lax.dot_general(
+            ug_scr[u], g_scr[u],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dw_ref[:] = acc
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _row_maps(mode, ny_in):
+    """Three halo index_maps: block row of the input table per grid step."""
+    last = ny_in - 1
+    if mode == "subm":
+        return (lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                lambda i: (i, 0, 0),
+                lambda i: (jnp.minimum(i + 1, last), 0, 0))
+    if mode == "down":   # output row i reads input rows 2i-1, 2i, 2i+1
+        return (lambda i: (jnp.maximum(2 * i - 1, 0), 0, 0),
+                lambda i: (jnp.minimum(2 * i, last), 0, 0),
+                lambda i: (jnp.minimum(2 * i + 1, last), 0, 0))
+    if mode == "up":     # input row i reads output rows (i+dy)//2
+        return (lambda i: (jnp.maximum((i - 1) // 2, 0), 0, 0),
+                lambda i: (jnp.minimum(i // 2, last), 0, 0),
+                lambda i: (jnp.minimum((i + 1) // 2, last), 0, 0))
+    raise ValueError(mode)
+
+
+@partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
+                                   "mode", "interpret"))
+def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
+                mode="subm", interpret=False):
+    """One sparse 3x3x3 conv over a transposed row-padded pillar table.
+
+    table: (ny_in, nz*cin, B_in) — per-BEV-row feature tiles, pillars in
+        the lane dim (any float dtype; computed in bf16).
+    nbr:   (ny_out, NBR_ROWS, B_out) int32 — rows 0..8 hold the RANK of
+        the tap-j neighbor inside its source BEV row (>= B_in if absent).
+    w2:    weight_fwd / weight_bwd output.
+    mode:  'subm' (source row y+dy), 'down' (BEV stride 2: source 2y+dy;
+        pair with z_stride=2), 'up' (transposed strided conv for the
+        input gradient: source (y+dy)//2, z zero-stuffed — pass the
+        FORWARD nz as `nz` and the d_out table as `table`).
+
+    Returns (ny_out, out_nz*cout, B_out) bf16.  Outputs at invalid slots /
+    unoccupied z sites must be masked by the caller (zmask), as with
+    ops/pillars.pillar_conv.
+    """
+    ny_in, w_in, b_in = table.shape
+    ny_out, _, b_out = nbr.shape
+    z_up = mode == "up"
+    out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
+    if (z_stride == 2 or z_up) and nz % 2:
+        raise ValueError("z_stride=2 requires even nz")
+    m_m, m_0, m_p = _row_maps(mode, ny_in)
+    kern = partial(_conv_kernel, nz=nz, cin=cin, cout=cout,
+                   z_stride=z_stride, out_nz=out_nz, z_up=z_up)
+    return pl.pallas_call(
+        kern,
+        grid=(ny_out,),
+        in_specs=[
+            pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * cout, 9 * cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, w_in, b_in), m_m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, w_in, b_in), m_0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, w_in, b_in), m_p, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, out_nz * cout, b_out),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny_out, out_nz * cout, b_out),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((nz + 2, 9 * cin, b_out), jnp.bfloat16),
+            pltpu.VMEM((nz + 2, 3 * cout, b_out), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nbr, w2.astype(jnp.bfloat16), table, table, table)
+
+
+@partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
+                                   "mode", "interpret"))
+def rowpad_conv_dw(table, nbr, d_out, *, nz, cin, cout, z_stride=1,
+                   out_nz=None, mode="subm", interpret=False):
+    """Weight gradient of rowpad_conv: returns (3*cout, 9*cin) f32 (the
+    weight_fwd layout; map back with dw_to_spconv)."""
+    ny_in, w_in, b_in = table.shape
+    ny_out, _, b_out = nbr.shape
+    out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
+    m_m, m_0, m_p = _row_maps(mode, ny_in)
+    kern = partial(_dw_kernel, nz=nz, cin=cin, cout=cout,
+                   z_stride=z_stride, out_nz=out_nz)
+    return pl.pallas_call(
+        kern,
+        grid=(ny_out,),
+        in_specs=[
+            pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, out_nz * cout, b_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, w_in, b_in), m_m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, w_in, b_in), m_0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, w_in, b_in), m_p, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * cout, 9 * cin), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * cout, 9 * cin), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nz + 2, 9 * cin, b_out), jnp.bfloat16),
+            pltpu.VMEM((nz + 2, 3 * cout, b_out), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(nbr, d_out, table, table, table)
+
+
+def dw_to_spconv(dw2, cin, cout):
+    """(3*cout, 9*cin) weight_fwd-layout gradient -> (27, cin, cout)."""
+    return jnp.transpose(dw2.reshape(3, cout, 9, cin),
+                         (0, 2, 3, 1)).reshape(27, cin, cout)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable conv op (the backbone's entry point)
+# ---------------------------------------------------------------------------
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def make_conv_op(*, nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
+                 use_pallas=None, dtype=jnp.bfloat16):
+    """Returns conv(table, weight, nbr, nbr_up) -> (ny_out, out_nz*cout, B)
+    with a scatter-free custom VJP:
+
+        d_table = rowpad_conv(d_out, nbr | nbr_up, weight_bwd(W))
+        dW      = rowpad_conv_dw(table, nbr, d_out)
+
+    nbr_up is the transpose map for mode='down' (pass nbr again for subm —
+    it is its own transpose under the weight flip).  On non-TPU backends
+    the XLA reference implements both passes (same math, gather-based)."""
+    out_nz_ = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
+    pallas = _on_tpu() if use_pallas is None else use_pallas
+
+    @jax.custom_vjp
+    def conv(table, weight, nbr, nbr_up):
+        if pallas:
+            # the kernel computes in bf16 (MXU-native); `dtype` only
+            # affects the XLA reference path used on CPU/test backends
+            return rowpad_conv(table, nbr, weight_fwd(weight, cin, cout),
+                               nz=nz, cin=cin, cout=cout, z_stride=z_stride,
+                               out_nz=out_nz_, mode=mode)
+        return rowpad_conv_reference(table, nbr, weight, nz=nz, cin=cin,
+                                     cout=cout, z_stride=z_stride,
+                                     out_nz=out_nz_, mode=mode, dtype=dtype)
+
+    def fwd(table, weight, nbr, nbr_up):
+        return conv(table, weight, nbr, nbr_up), (table, weight, nbr, nbr_up)
+
+    def bwd(res, ct):
+        table, weight, nbr, nbr_up = res
+        ct = ct.astype(jnp.bfloat16)
+        bwd_mode = "subm" if mode == "subm" else "up"
+        bwd_nbr = nbr if mode == "subm" else nbr_up
+        if pallas:
+            wb = weight_bwd(weight, cin, cout)
+            d_t = rowpad_conv(ct.astype(jnp.bfloat16), bwd_nbr, wb,
+                              nz=nz, cin=cout, cout=cin,
+                              out_nz=nz, mode=bwd_mode)
+            dw = dw_to_spconv(
+                rowpad_conv_dw(table.astype(jnp.bfloat16), nbr, ct, nz=nz,
+                               cin=cin, cout=cout, z_stride=z_stride,
+                               out_nz=out_nz_, mode=mode), cin, cout)
+        else:
+            # reference path: flip-weight conv for d_in, vjp for dW
+            wflip = jnp.transpose(
+                weight.reshape(3, 9, cin, cout)[::-1, ::-1],
+                (0, 1, 3, 2)).reshape(27, cout, cin)
+            d_t = rowpad_conv_reference(ct, bwd_nbr, wflip, nz=nz, cin=cout,
+                                        cout=cin, out_nz=nz, mode=bwd_mode,
+                                        dtype=dtype)
+            _, vjpw = jax.vjp(
+                lambda w: rowpad_conv_reference(
+                    table, nbr, w, nz=nz, cin=cin, cout=cout,
+                    z_stride=z_stride, out_nz=out_nz_,
+                    mode=mode).astype(jnp.float32), weight)
+            (dw,) = vjpw(ct.astype(jnp.float32))
+        return d_t.astype(table.dtype), dw.astype(weight.dtype), None, None
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (testing / CPU path): same transposed row-padded contract
+# ---------------------------------------------------------------------------
+
+def rowpad_conv_reference(table, nbr, weight, *, nz, cin, cout, z_stride=1,
+                          out_nz=None, mode="subm", dtype=jnp.bfloat16):
+    """Pure-XLA implementation of rowpad_conv for parity tests: converts
+    nbr ranks to global row indices and uses ops/pillars.bev_gather +
+    _zconv_matmul on the untransposed layout."""
+    from detzero_tpu.ops import pillars
+
+    ny_in, w_in, b_in = table.shape
+    ny_out, _, b_out = nbr.shape
+    out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
+    flat = jnp.transpose(table, (0, 2, 1)).reshape(ny_in * b_in, w_in)
+    out_row = jnp.arange(ny_out * b_out) // b_out
+    nbr_flat = jnp.transpose(nbr, (0, 2, 1)).reshape(ny_out * b_out, -1)
+    idx_cols, fnd_cols = [], []
+    for j in range(9):
+        dy = j // 3 - 1
+        if mode == "subm":
+            src = out_row + dy
+        elif mode == "down":
+            src = 2 * out_row + dy
+        else:                      # up
+            src = (out_row + dy) // 2
+        src = jnp.clip(src, 0, ny_in - 1)
+        rank = nbr_flat[:, j]
+        fnd = rank < b_in
+        idx_cols.append(jnp.where(fnd, src * b_in + rank, 0))
+        fnd_cols.append(fnd)
+    idx = jnp.stack(idx_cols, 1).astype(jnp.int32)
+    fnd = jnp.stack(fnd_cols, 1)
+    if mode == "up":
+        # zero-stuff z: slab rows carry nz//2 values on even z
+        f3 = flat.reshape(ny_in * b_in, nz // 2, cin)
+        f3 = jnp.stack([f3, jnp.zeros_like(f3)], 2).reshape(
+            ny_in * b_in, nz, cin)
+        flat = f3.reshape(ny_in * b_in, nz * cin)
+    # plain gather (not pillars.bev_gather): its custom VJP needs transpose
+    # maps, and this reference must stay jax.vjp-differentiable as-is
+    f16 = flat.astype(dtype)
+    g = jnp.concatenate(
+        [jnp.where(fnd[:, j][:, None, None],
+                   f16[idx[:, j]].reshape(-1, nz, cin), 0)
+         for j in range(9)], axis=-1)
+    w = weight.reshape(3, 9, cin, cout).reshape(3, 9 * cin, cout)
+    out = pillars._zconv_matmul(g.astype(dtype), w.astype(dtype),
+                                1 if mode == "up" else z_stride,
+                                out_nz, jnp.float32)
+    out = out.reshape(ny_out, b_out, out_nz * cout)
+    return jnp.transpose(out, (0, 2, 1)).astype(dtype)

@@ -452,6 +452,94 @@ def voxel_query_pillar(query_coords_zyx, lut, zmask_flat, nz: int, bev_hw,
     return idx, fnd
 
 
+# ---------------------------------------------------------------------------
+# Row-padded transposed layout (the fused Pallas conv path, ops/pallas_pillar)
+# ---------------------------------------------------------------------------
+
+def rowpad_slots(cells, mask, bev_hw, row_budget):
+    """Per-pillar slot in the row-padded layout: BEV row y owns slots
+    [y*B, (y+1)*B), rank = position within the row (cells are sorted, so
+    same-row pillars are consecutive).  Returns (slot, keep, rank_lut):
+    slot (MP,) int32 (== ny*B for dropped/invalid), keep (MP,) bool
+    (mask & rank < B), rank_lut (ny*nx,) int32 rank+1 (0 = empty)."""
+    ny, nx = bev_hw
+    b = row_budget
+    mp = cells.shape[0]
+    y = jnp.where(mask, cells // nx, 0)
+    counts = jnp.zeros(ny, jnp.int32).at[y].add(mask.astype(jnp.int32))
+    row_start = jnp.cumsum(counts) - counts
+    rank = jnp.arange(mp, dtype=jnp.int32) - row_start[y]
+    keep = mask & (rank < b)
+    slot = jnp.where(keep, y * b + rank, ny * b)
+    safe_cells = jnp.where(keep, cells, ny * nx)
+    rank_lut = jnp.zeros(ny * nx + 1, jnp.int32).at[safe_cells].max(
+        (rank + 1) * keep, unique_indices=True)[:-1]
+    return slot.astype(jnp.int32), keep, rank_lut
+
+
+def to_rowpad(values, slot, keep, ny, row_budget):
+    """Scatter per-pillar rows (MP, D) into the transposed row-padded
+    layout (ny, D, B)."""
+    b = row_budget
+    d = values.shape[-1]
+    flat = jnp.zeros((ny * b + 1, d), values.dtype).at[slot].set(
+        jnp.where(keep[:, None], values, 0), unique_indices=True)[:-1]
+    return jnp.transpose(flat.reshape(ny, b, d), (0, 2, 1))
+
+
+def from_rowpad(rp, slot, keep, fill=0.0):
+    """Gather the compact per-pillar rows (MP, D) back out of (ny, D, B)."""
+    ny, d, b = rp.shape
+    flat = jnp.transpose(rp, (0, 2, 1)).reshape(ny * b, d)
+    got = flat[jnp.minimum(slot, ny * b - 1)]
+    return jnp.where(keep[:, None], got, fill)
+
+
+def _nbr_scatter(vals, slot, keep, ny_out, b_out, b_in, nbr_rows):
+    """(MP, 9) per-pillar tap ranks -> (ny_out, NBR_ROWS, B) kernel input
+    (b_in everywhere a tap is absent)."""
+    mp = vals.shape[0]
+    vals = jnp.where(keep[:, None], vals, b_in)
+    pad = jnp.full((mp, nbr_rows - 9), b_in, jnp.int32)
+    rows = jnp.concatenate([vals.astype(jnp.int32), pad], 1)
+    flat = jnp.full((ny_out * b_out + 1, nbr_rows), b_in, jnp.int32)
+    flat = flat.at[slot].set(rows, unique_indices=True)[:-1]
+    return jnp.transpose(flat.reshape(ny_out, b_out, nbr_rows), (0, 2, 1))
+
+
+def build_rowpad_nbr(coords2d, mask, slot, keep, in_rank_lut, in_bev_hw,
+                     ny_out, b_out, b_in, mode="subm", nbr_rows=16):
+    """Neighbor-rank tensor for ops/pallas_pillar.rowpad_conv.
+
+    coords2d/mask/slot/keep describe the OUTPUT pillars ('up': the conv's
+    input-level pillars, whose gradient is being built); in_rank_lut /
+    in_bev_hw describe the table being gathered FROM ('up': the conv's
+    output level).  mode: 'subm' target (y+dy, x+dx); 'down' target
+    (2y+dy, 2x+dx); 'up' target ((y+dy)/2, (x+dx)/2) when divisible.
+    """
+    iny, inx = in_bev_hw
+    yq, xq = coords2d[:, 0], coords2d[:, 1]
+    cols = []
+    for dy, dx in BEV_OFFSETS:
+        if mode == "subm":
+            ty, tx = yq + dy, xq + dx
+            ok = mask
+        elif mode == "down":
+            ty, tx = 2 * yq + dy, 2 * xq + dx
+            ok = mask
+        elif mode == "up":
+            sy, sx = yq + dy, xq + dx
+            ok = mask & (sy % 2 == 0) & (sx % 2 == 0)
+            ty, tx = sy // 2, sx // 2
+        else:
+            raise ValueError(mode)
+        inb = ok & (ty >= 0) & (ty < iny) & (tx >= 0) & (tx < inx)
+        v = in_rank_lut[jnp.clip(ty * inx + tx, 0, iny * inx - 1)]
+        cols.append(jnp.where(inb & (v > 0), v - 1, b_in))
+    vals = jnp.stack(cols, 1)
+    return _nbr_scatter(vals, slot, keep, ny_out, b_out, b_in, nbr_rows)
+
+
 def densify_pillars(feats, cells, mask, bev_hw):
     """(MP, D) pillar features -> dense (ny, nx, D) BEV map via one
     unique-index row scatter (MP is small at the final stride)."""

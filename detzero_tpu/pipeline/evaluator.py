@@ -213,13 +213,21 @@ def evaluate_detection(preds, gts, class_names=("Vehicle", "Pedestrian",
             gm = np.asarray(gt.get("name", [])) == cls
             gb = np.asarray(gt.get("gt_boxes", np.zeros((0, 7))))[gm].reshape(-1, 7) \
                 if gm.any() else np.zeros((0, 7))
-            npts = np.asarray(gt.get("num_points", np.full(gm.sum(), 100)))[
-                : len(gb)] if gm.any() else np.zeros(0)
-            if len(npts) < len(gb):  # missing/short metadata: assume easy
-                npts = np.concatenate([npts, np.full(len(gb) - len(npts), 100)])
-            diff = np.asarray(gt.get("difficulty", np.ones(len(gb))))
-            if len(diff) < len(gb):
-                diff = np.concatenate([diff, np.ones(len(gb) - len(diff))])
+            # per-GT metadata must be CLASS-MASKED like the boxes (found by
+            # the clean-room A/B oracle, tests/test_eval_oracle_ab.py — the
+            # old [:len(gb)] slice misaligned difficulty/num_points with the
+            # filtered boxes whenever classes interleave)
+            n_all = len(gm)
+            npts_all = np.asarray(gt.get("num_points", np.full(n_all, 100)))
+            if len(npts_all) < n_all:  # short metadata: assume easy
+                npts_all = np.concatenate(
+                    [npts_all, np.full(n_all - len(npts_all), 100)])
+            diff_all = np.asarray(gt.get("difficulty", np.ones(n_all)))
+            if len(diff_all) < n_all:
+                diff_all = np.concatenate(
+                    [diff_all, np.ones(n_all - len(diff_all))])
+            npts = npts_all[gm] if gm.any() else np.zeros(0)
+            diff = diff_all[gm] if gm.any() else np.zeros(0)
             hard = (npts <= 5) | (diff >= 2)
 
             frames.append((pb, ps, gb, hard))

@@ -24,7 +24,6 @@ def test_bench_tiny_json_line():
     assert rec["value"] > 0
     assert 0 < rec["mfu"] <= 1.0
     assert rec["flops_per_frame"] > 0
-    assert rec["pipelined_fps"] > 0
 
 
 def test_graft_entry_surface():

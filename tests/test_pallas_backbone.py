@@ -1,0 +1,98 @@
+"""pillar_pallas backend (fused rowpad convs): end-to-end parity with the
+gather-based pillar backend from SHARED params — same param tree, same
+forward, same loss/grads (CPU runs the XLA reference implementation of the
+rowpad contract, so this pins the plan/nbr/slot plumbing; the kernels
+themselves are pinned in tests/test_pallas_pillar.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detzero_tpu.core.config import Config
+from detzero_tpu.models.detection.centerpoint import CenterPoint
+
+
+def _build(backend, second_stage=False, row_budget=128):
+    cfg = Config({
+        "WITH_VELOCITY": True, "WITH_IOU": True,
+        "CLASS_IDS_EACH_HEAD": [[0], [1, 2]],
+        "VOXEL_CAPACITIES": (512, 256, 128, 64),
+        "BACKBONE3D": backend,
+        "PILLAR_ROW_BUDGET": row_budget,
+        "SECOND_STAGE": second_stage,
+    })
+    return CenterPoint(cfg, 3, pc_range=(-6.4, -6.4, -2.0, 6.4, 6.4, 2.0),
+                       voxel_size=(0.2, 0.2, 0.5), max_voxels=512,
+                       max_points=2048, max_objs=8, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-6, 6, (1, 2048, 5)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-1.8, 1.8, (1, 2048))
+    pv = np.ones((1, 2048), bool)
+    gb = np.zeros((1, 8, 9), np.float32)
+    gb[:, 0, :7] = [1.0, 1.0, 0.0, 4.4, 2.0, 1.6, 0.3]
+    gb[:, 1, :7] = [-2.0, 3.0, 0.2, 0.8, 0.8, 1.7, 1.2]
+    gc = np.zeros((1, 8), np.int32)
+    gc[:, 1] = 1
+    gv = np.zeros((1, 8), bool)
+    gv[:, :2] = True
+    return pts, pv, gb, gc, gv
+
+
+def test_forward_parity(data):
+    pts, pv, *_ = data
+    m1, m2 = _build("pillar"), _build("pillar_pallas")
+    v1 = m1.init(jax.random.PRNGKey(0), pts, pv)
+    v2 = m2.init(jax.random.PRNGKey(0), pts, pv)
+    assert jax.tree.structure(v1) == jax.tree.structure(v2)
+    p1, _, _ = m1.apply(v1, pts, pv, train=False, mutable_stats=False)
+    p2, _, _ = m2.apply(v1, pts, pv, train=False, mutable_stats=False)
+    for k in ("hm", "center", "dim", "rot"):
+        a, b = np.float32(p1[0][k]), np.float32(p2[0][k])
+        assert np.abs(a - b).max() < 0.05 * max(np.abs(a).max(), 1.0), k
+
+
+def test_loss_and_grad_parity(data):
+    pts, pv, gb, gc, gv = data
+    m1, m2 = _build("pillar"), _build("pillar_pallas")
+    v = m1.init(jax.random.PRNGKey(0), pts, pv)
+
+    def loss(m, params):
+        l, _ = m.loss({"params": params, "batch_stats": v["batch_stats"]},
+                      pts, pv, gb, gc, gv)
+        return l
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(m2, p))(v["params"])
+    assert abs(float(l1) - float(l2)) < 0.05 * abs(float(l1))
+    flat1 = jax.tree.leaves(g1)
+    flat2 = jax.tree.leaves(g2)
+    for a, b in zip(flat1, flat2):
+        a, b = np.float32(a), np.float32(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() < 0.08 * scale
+
+
+def test_second_stage_parity(data):
+    pts, pv, *_ = data
+    m1 = _build("pillar", second_stage=True)
+    m2 = _build("pillar_pallas", second_stage=True)
+    v = m1.init(jax.random.PRNGKey(0), pts, pv)
+    o1 = m1.predict(v, pts, pv)
+    o2 = m2.predict(v, pts, pv)
+    a, b = np.float32(o1["scores"]), np.float32(o2["scores"])
+    assert np.abs(a - b).max() < 0.05
+
+
+def test_small_row_budget_no_crash(data):
+    """Overflowing rows (budget 8) must drop pillars, not crash or NaN."""
+    pts, pv, *_ = data
+    m = _build("pillar_pallas", row_budget=8)
+    v = m.init(jax.random.PRNGKey(0), pts, pv)
+    p, _, _ = m.apply(v, pts, pv, train=False, mutable_stats=False)
+    assert np.isfinite(np.float32(p[0]["hm"])).all()

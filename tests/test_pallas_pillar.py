@@ -1,0 +1,172 @@
+"""Fused Pallas pillar-conv kernels (ops/pallas_pillar): interpret-mode
+parity against the XLA reference + jax.vjp gradient oracles, on a
+geometrically consistent synthetic BEV occupancy (the weight-flip backward
+identity only holds when the neighbor map is the real symmetric BEV
+structure)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detzero_tpu.ops import pallas_pillar as pp
+
+NY, NX, B, NZ, CIN, COUT = 8, 300, 128, 8, 16, 24
+
+
+@pytest.fixture(scope="module")
+def geom():
+    rng = np.random.RandomState(0)
+    occ = rng.rand(NY, NX) < 0.3
+    rank = np.full((NY, NX), -1, np.int64)
+    nocc = np.zeros(NY, np.int64)
+    for y in range(NY):
+        xs = np.flatnonzero(occ[y])[:B]
+        occ[y] = False
+        occ[y, xs] = True
+        rank[y, xs] = np.arange(len(xs))
+        nocc[y] = len(xs)
+
+    nbr = np.full((NY, pp.NBR_ROWS, B), B + 9, np.int32)
+    for y in range(NY):
+        for x in np.flatnonzero(occ[y]):
+            for j in range(9):
+                dy, dx = j // 3 - 1, j % 3 - 1
+                yy, xx = y + dy, x + dx
+                if 0 <= yy < NY and 0 <= xx < NX and occ[yy, xx]:
+                    nbr[y, j, rank[y, x]] = rank[yy, xx]
+
+    # stride-2 output grid
+    nyo, nxo = NY // 2, NX // 2
+    occ_o = np.zeros((nyo, nxo), bool)
+    for y in range(NY):
+        for x in np.flatnonzero(occ[y]):
+            occ_o[y // 2, x // 2] = True
+    rank_o = np.full((nyo, nxo), -1, np.int64)
+    nocc_o = np.zeros(nyo, np.int64)
+    for y in range(nyo):
+        xs = np.flatnonzero(occ_o[y])[:B]
+        occ_o[y] = False
+        occ_o[y, xs] = True
+        rank_o[y, xs] = np.arange(len(xs))
+        nocc_o[y] = len(xs)
+
+    nbr_d = np.full((nyo, pp.NBR_ROWS, B), B + 9, np.int32)
+    for yo in range(nyo):
+        for xo in np.flatnonzero(occ_o[yo]):
+            for j in range(9):
+                dy, dx = j // 3 - 1, j % 3 - 1
+                yy, xx = 2 * yo + dy, 2 * xo + dx
+                if 0 <= yy < NY and 0 <= xx < NX and occ[yy, xx]:
+                    nbr_d[yo, j, rank_o[yo, xo]] = rank[yy, xx]
+
+    nbr_up = np.full((NY, pp.NBR_ROWS, B), B + 9, np.int32)
+    for y in range(NY):
+        for x in np.flatnonzero(occ[y]):
+            for jp in range(9):
+                dy, dx = jp // 3 - 1, jp % 3 - 1
+                ty, tx = y + dy, x + dx
+                if ty % 2 or tx % 2 or not (0 <= ty < NY and 0 <= tx < NX):
+                    continue
+                yo, xo = ty // 2, tx // 2
+                if 0 <= yo < nyo and 0 <= xo < nxo and occ_o[yo, xo]:
+                    nbr_up[y, jp, rank[y, x]] = rank_o[yo, xo]
+
+    table = rng.randn(NY, NZ * CIN, B).astype(np.float32)
+    for y in range(NY):
+        table[y, :, nocc[y]:] = 0
+    weight = (rng.randn(27, CIN, COUT) * 0.1).astype(np.float32)
+    ct = rng.randn(NY, NZ * COUT, B).astype(np.float32)
+    for y in range(NY):
+        ct[y, :, nocc[y]:] = 0
+    ctd = rng.randn(nyo, (NZ // 2) * COUT, B).astype(np.float32)
+    for y in range(nyo):
+        ctd[y, :, nocc_o[y]:] = 0
+    return dict(nbr=nbr, nbr_d=nbr_d, nbr_up=nbr_up, table=table,
+                weight=weight, ct=ct, ctd=ctd)
+
+
+def _ref_subm(g):
+    return lambda tab: pp.rowpad_conv_reference(
+        tab, jnp.asarray(g["nbr"]), jnp.asarray(g["weight"]),
+        nz=NZ, cin=CIN, cout=COUT).astype(jnp.float32)
+
+
+def _ref_down(g):
+    return lambda tab: pp.rowpad_conv_reference(
+        tab, jnp.asarray(g["nbr_d"]), jnp.asarray(g["weight"]),
+        nz=NZ, cin=CIN, cout=COUT, z_stride=2, out_nz=NZ // 2,
+        mode="down").astype(jnp.float32)
+
+
+def test_fwd_subm(geom):
+    w2 = pp.weight_fwd(jnp.asarray(geom["weight"]), CIN, COUT)
+    out = pp.rowpad_conv(jnp.asarray(geom["table"]), jnp.asarray(geom["nbr"]),
+                         w2, nz=NZ, cin=CIN, cout=COUT, interpret=True)
+    ref = _ref_subm(geom)(jnp.asarray(geom["table"]))
+    assert np.abs(np.float32(out) - np.float32(ref)).max() < 1e-2
+
+
+def test_fwd_down(geom):
+    w2 = pp.weight_fwd(jnp.asarray(geom["weight"]), CIN, COUT)
+    out = pp.rowpad_conv(jnp.asarray(geom["table"]),
+                         jnp.asarray(geom["nbr_d"]), w2, nz=NZ, cin=CIN,
+                         cout=COUT, z_stride=2, out_nz=NZ // 2, mode="down",
+                         interpret=True)
+    ref = _ref_down(geom)(jnp.asarray(geom["table"]))
+    assert np.abs(np.float32(out) - np.float32(ref)).max() < 1e-2
+
+
+def test_bwd_subm_din(geom):
+    _, vjp = jax.vjp(_ref_subm(geom), jnp.asarray(geom["table"]))
+    (dref,) = vjp(jnp.asarray(geom["ct"]))
+    wb = pp.weight_bwd(jnp.asarray(geom["weight"]), CIN, COUT)
+    dk = pp.rowpad_conv(jnp.asarray(geom["ct"]), jnp.asarray(geom["nbr"]),
+                        wb, nz=NZ, cin=COUT, cout=CIN, interpret=True)
+    rel = (np.abs(np.float32(dk) - np.float32(dref)).max()
+           / np.abs(np.float32(dref)).max())
+    assert rel < 0.03, rel
+
+
+def test_bwd_down_din_up_mode(geom):
+    _, vjp = jax.vjp(_ref_down(geom), jnp.asarray(geom["table"]))
+    (dref,) = vjp(jnp.asarray(geom["ctd"]))
+    wb = pp.weight_bwd(jnp.asarray(geom["weight"]), CIN, COUT)
+    dk = pp.rowpad_conv(jnp.asarray(geom["ctd"]), jnp.asarray(geom["nbr_up"]),
+                        wb, nz=NZ, cin=COUT, cout=CIN, out_nz=NZ, mode="up",
+                        interpret=True)
+    rel = (np.abs(np.float32(dk) - np.float32(dref)).max()
+           / np.abs(np.float32(dref)).max())
+    assert rel < 0.03, rel
+
+
+def test_dw_subm(geom):
+    _, vjpw = jax.vjp(lambda w: pp.rowpad_conv_reference(
+        jnp.asarray(geom["table"]), jnp.asarray(geom["nbr"]), w,
+        nz=NZ, cin=CIN, cout=COUT).astype(jnp.float32),
+        jnp.asarray(geom["weight"]))
+    (dwref,) = vjpw(jnp.asarray(geom["ct"]))
+    dwk = pp.dw_to_spconv(pp.rowpad_conv_dw(
+        jnp.asarray(geom["table"]), jnp.asarray(geom["nbr"]),
+        jnp.asarray(geom["ct"]).astype(jnp.bfloat16),
+        nz=NZ, cin=CIN, cout=COUT, interpret=True), CIN, COUT)
+    rel = (np.abs(np.float32(dwk) - np.float32(dwref)).max()
+           / np.abs(np.float32(dwref)).max())
+    assert rel < 0.03, rel
+
+
+def test_dw_down(geom):
+    _, vjpw = jax.vjp(lambda w: pp.rowpad_conv_reference(
+        jnp.asarray(geom["table"]), jnp.asarray(geom["nbr_d"]), w,
+        nz=NZ, cin=CIN, cout=COUT, z_stride=2, out_nz=NZ // 2,
+        mode="down").astype(jnp.float32), jnp.asarray(geom["weight"]))
+    (dwref,) = vjpw(jnp.asarray(geom["ctd"]))
+    dwk = pp.dw_to_spconv(pp.rowpad_conv_dw(
+        jnp.asarray(geom["table"]), jnp.asarray(geom["nbr_d"]),
+        jnp.asarray(geom["ctd"]).astype(jnp.bfloat16),
+        nz=NZ, cin=CIN, cout=COUT, z_stride=2, out_nz=NZ // 2, mode="down",
+        interpret=True), CIN, COUT)
+    rel = (np.abs(np.float32(dwk) - np.float32(dwref)).max()
+           / np.abs(np.float32(dwref)).max())
+    assert rel < 0.03, rel

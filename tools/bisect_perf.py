@@ -344,6 +344,58 @@ def run_micro():
                        gg.astype(jnp.bfloat16), ww.astype(jnp.bfloat16),
                        1, None, jnp.bfloat16), (g, w3),
                    note="overlap-add z matmul alone, bf16 unf")
+    def _pallas_fixture(ny, b, nz, cin, cout, seed=5):
+        from detzero_tpu.ops import pallas_pillar as _pp
+        r = np.random.RandomState(seed)
+        tab = r.randn(ny, nz * cin, b).astype(np.float32)
+        nbr = r.randint(0, b, (ny, _pp.NBR_ROWS, b)).astype(np.int32)
+        nbr[r.rand(*nbr.shape) < 0.4] = b + 7
+        w27 = (r.randn(27, cin, cout) * 0.05).astype(np.float32)
+        w2 = np.asarray(_pp.weight_fwd(jnp.asarray(w27), cin, cout))
+        return _pp, tab, nbr, w2
+
+    if want("pallas_conv_l0"):
+        _pp, tab, nbr, w2 = _pallas_fixture(1504, 128, NZ_, NC_, NC_)
+        def pk(t, n, w):
+            return _pp.rowpad_conv(t.astype(jnp.bfloat16), n, w,
+                                   nz=NZ_, cin=NC_, cout=NC_)
+        time_stage("pallas_conv_l0_rowpad", pk, (tab, nbr, w2),
+                   note="fused pallas pillar conv, L0 (1504 rows x 128)")
+    if want("pallas_conv_l0_down"):
+        _pp, tab, _, _ = _pallas_fixture(1504, 128, NZ_, NC_, NC_)
+        _, _, nbrd0, w2d = _pallas_fixture(752, 128, NZ_, NC_, 2 * NC_, seed=6)
+        def pkd(t, n, w):
+            return _pp.rowpad_conv(t.astype(jnp.bfloat16), n, w,
+                                   nz=NZ_, cin=NC_, cout=2 * NC_, z_stride=2,
+                                   out_nz=NZ_ // 2, mode="down")
+        time_stage("pallas_conv_l0_down", pkd, (tab, nbrd0, w2d),
+                   note="fused pallas down conv L0->L1")
+    if want("pallas_conv_l1"):
+        _pp, tab, nbr, w2 = _pallas_fixture(752, 128, NZ_ // 2, 2 * NC_,
+                                            2 * NC_, seed=7)
+        def pk1(t, n, w):
+            return _pp.rowpad_conv(t.astype(jnp.bfloat16), n, w,
+                                   nz=NZ_ // 2, cin=2 * NC_, cout=2 * NC_)
+        time_stage("pallas_conv_l1_rowpad", pk1, (tab, nbr, w2),
+                   note="L1 subm (752 rows x 128, nz 20, C 32)")
+    if want("pallas_conv_l3"):
+        _pp, tab, nbr, w2 = _pallas_fixture(188, 128, 5, 8 * NC_,
+                                            8 * NC_, seed=8)
+        def pk3(t, n, w):
+            return _pp.rowpad_conv(t.astype(jnp.bfloat16), n, w,
+                                   nz=5, cin=8 * NC_, cout=8 * NC_)
+        time_stage("pallas_conv_l3_rowpad", pk3, (tab, nbr, w2),
+                   note="L3 subm (188 rows x 128, nz 5, C 128)")
+    if want("pallas_dw_l0"):
+        _pp, tab, nbr, _ = _pallas_fixture(1504, 128, NZ_, NC_, NC_)
+        ct = np.random.RandomState(9).randn(
+            1504, NZ_ * NC_, 128).astype(np.float32)
+        def pdw(t, n, c):
+            return _pp.rowpad_conv_dw(t.astype(jnp.bfloat16), n,
+                                      c.astype(jnp.bfloat16),
+                                      nz=NZ_, cin=NC_, cout=NC_)
+        time_stage("pallas_dw_l0", pdw, (tab, nbr, ct),
+                   note="weight-grad kernel, L0 scale")
     if want("conv1d_big"):
         nb = rng.randn(120_000, NZ_, 9 * NC_).astype(np.float32)
         wz = (rng.randn(3, 9 * NC_, NC_) * 0.05).astype(np.float32)
@@ -469,7 +521,7 @@ def run_prefix():
         return only is None or name in only
 
     if want("voxelize"):
-        if getattr(model, "backend", "sorted") == "pillar":
+        if getattr(model, "backend", "sorted").startswith("pillar"):
             from detzero_tpu.ops.pillars import build_pillar_table
 
             def vox(p, v):
@@ -489,7 +541,7 @@ def run_prefix():
         import jax as _jax
         table, plan = _jax.jit(model._tables)(jnp.asarray(pts),
                                               jnp.asarray(pv))
-        feats = table["feats" if getattr(model, "backend", "") == "pillar"
+        feats = table["feats" if getattr(model, "backend", "").startswith("pillar")
                       else "voxel_features"]
 
         def bb(feats, plan):
