@@ -16,6 +16,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
+    # pure-CPU data tool: pin the cpu backend BEFORE any detzero import —
+    # the image's sitecustomize otherwise initializes the remote TPU
+    # backend on the first jax.numpy import (CLAUDE.md)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from detzero_tpu.core.logger import create_logger
     from detzero_tpu.data import waymo_preprocess as wp
 
