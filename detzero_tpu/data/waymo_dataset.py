@@ -141,6 +141,15 @@ class SyntheticWaymoDataset(DatasetTemplate):
         self.seed = int(dataset_cfg.get("SYNTHETIC_SEED", 0))
         self.n_objects = int(dataset_cfg.get("SYNTHETIC_OBJECTS", 8))
         self.n_points = int(dataset_cfg.get("SYNTHETIC_POINTS", 20_000))
+        # v3 realism (opt-in; gives the refining stages headroom — VERDICT
+        # r2 #5): only sensor-facing faces carry points (partial views =>
+        # per-frame size ambiguity GRM can fix), point budget falls with
+        # range, and occasional occlusion dropout starves single frames
+        # (CRM signal). Class mix reweighted so Cyclist isn't data-starved.
+        self.occlusion = bool(dataset_cfg.get("SYNTHETIC_OCCLUSION", False))
+        self.class_weights = dataset_cfg.get(
+            "SYNTHETIC_CLASS_WEIGHTS",
+            [0.4, 0.3, 0.3] if self.occlusion else None)
 
     def __len__(self):
         return self.length
@@ -163,7 +172,13 @@ class SyntheticWaymoDataset(DatasetTemplate):
         names, boxes, obj_pts = [], [], []
         span = np.minimum(np.abs(lo[:2]), 40) * 0.7
         for _ in range(self.n_objects):
-            cls = self.class_names[rng.randint(len(self.class_names))]
+            if self.class_weights is not None:
+                w = np.asarray(self.class_weights[:len(self.class_names)],
+                               float)
+                cls = self.class_names[rng.choice(len(self.class_names),
+                                                  p=w / w.sum())]
+            else:
+                cls = self.class_names[rng.randint(len(self.class_names))]
             base = np.asarray(sizes.get(cls, [2, 2, 2]))
             vel = rng.uniform(-1.0, 1.0, 2) * (2.0 if cls == "Vehicle" else 0.3)
             b = np.concatenate([
@@ -183,6 +198,30 @@ class SyntheticWaymoDataset(DatasetTemplate):
             n_pts = 120
             dx, dy, dz = b[3:6]
             faces = np.array([dx * dy, dx * dz, dx * dz, dy * dz, dy * dz])
+            if self.occlusion:
+                # visibility: a side face carries points only when its
+                # outward normal points toward the sensor (origin) — the
+                # single-frame view is PARTIAL, so per-frame size is
+                # ambiguous (GRM headroom) and the visible end breaks the
+                # heading ambiguity (APH headroom). Budget falls with
+                # range; occasional dropout starves a frame (CRM signal).
+                c0, s0 = np.cos(b[6]), np.sin(b[6])
+                to_sensor = -b[:2]
+                normals = np.array([
+                    [0.0, 0.0],                # top: always visible
+                    [-s0, c0],                 # +y side
+                    [s0, -c0],                 # -y side
+                    [c0, s0],                  # +x end
+                    [-c0, -s0],                # -x end
+                ])
+                vis = np.concatenate(
+                    [[True], (normals[1:] @ to_sensor) > 0])
+                faces = np.where(vis, faces, 0.0)
+                rng_m = float(np.linalg.norm(b[:2]))
+                n_pts = int(np.clip(120 * (18.0 / max(rng_m, 5.0)) ** 2,
+                                    10, 160))
+                if rng.rand() < 0.15:          # occluded frame
+                    n_pts = max(n_pts // 8, 3)
             k = rng.multinomial(n_pts, faces / faces.sum())
             u = rng.uniform(-0.5, 0.5, (n_pts, 2))
             local = np.empty((n_pts, 3))
@@ -214,7 +253,8 @@ class SyntheticWaymoDataset(DatasetTemplate):
             world[:, 1] = local[:, 0] * s + local[:, 1] * c + b[1]
             world[:, 2] = local[:, 2] + b[2]
             obj_pts.append(world)
-        n_bg = self.n_points - 120 * self.n_objects
+        n_obj_pts = sum(len(p) for p in obj_pts)
+        n_bg = self.n_points - n_obj_pts
         bg = rng.uniform(lo, hi, (max(n_bg, 0), 3))
         bg[:, 2] = np.abs(rng.randn(len(bg))) * 0.2 - 0.5  # ground-ish
         xyz = np.concatenate(obj_pts + [bg]).astype(np.float32)
