@@ -160,10 +160,38 @@ def bench_train(tiny: bool):
     print(json.dumps(rec))
 
 
+def _probe_backend(timeout_s: float = 90.0) -> bool:
+    """The axon tunnel can die mid-session (r3: the relay process exited
+    and every subsequent backend init BLOCKED FOREVER on a tcp recv).  A
+    bench that hangs eats the driver's whole wall budget (the r2 failure
+    mode), so probe device init in a SUBPROCESS with a hard timeout and
+    fail fast + loud instead."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import sys
 
     import jax
+
+    if os.environ.get("BENCH_TINY", "0") != "1" \
+            and os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+        if not _probe_backend():
+            print("bench: TPU backend unreachable (tunnel down?) — "
+                  "failing fast instead of hanging; re-run when the "
+                  "axon relay is back (ps aux | grep tpu_init)",
+                  file=sys.stderr, flush=True)
+            raise SystemExit(3)
     # persistent compilation cache: the full-scale model + fused NMS compile
     # takes minutes via the remote-compile service; cache hits are seconds
     jax.config.update("jax_compilation_cache_dir",
@@ -287,8 +315,21 @@ def main():
         import __graft_entry__ as _g
 
         model, _ = _g._build_model(tiny)
+
+        def _backbone_head(v, p, m):
+            # backbone+head with the plan built in-graph but marked as a
+            # separate stage; voxelize_plan isolates the table build, so
+            # forward - (voxelize_plan + this) ~= graph-fusion overhead
+            table, plan = model._tables(p, m)
+            feats = table["feats" if model.backend.startswith("pillar")
+                          else "voxel_features"]
+            return model.eval_net.apply(
+                v, feats, plan,
+                method=model._vmapped_call())[1]["spatial_features"]
+
         stages = {
             "voxelize_plan": lambda v, p, m: model._tables(p, m),
+            "backbone_head": _backbone_head,
             "forward": lambda v, p, m: model.apply(
                 v, p, m, train=False, mutable_stats=False),
             "full_predict": lambda v, p, m: fn(v, p, m),
