@@ -64,11 +64,13 @@ def read_tfrecord(path, verify_crc: bool = False):
             if len(hdr) < 8:
                 return
             (length,) = struct.unpack("<Q", hdr)
-            (hcrc,) = struct.unpack("<I", f.read(4))
+            hcrc_b = f.read(4)
             data = f.read(length)
-            (dcrc,) = struct.unpack("<I", f.read(4))
-            if len(data) < length:
+            dcrc_b = f.read(4)
+            if len(hcrc_b) < 4 or len(data) < length or len(dcrc_b) < 4:
                 raise IOError("truncated tfrecord")
+            (hcrc,) = struct.unpack("<I", hcrc_b)
+            (dcrc,) = struct.unpack("<I", dcrc_b)
             if verify_crc and (_masked_crc(hdr) != hcrc
                                or _masked_crc(data) != dcrc):
                 raise IOError("tfrecord crc mismatch")

@@ -61,9 +61,36 @@ def beam_inclinations(calib, h: int) -> np.ndarray:
     return inc[::-1]  # row 0 = top beam
 
 
-def range_image_to_points(ri: np.ndarray, calib):
+def _euler_to_rot(roll, pitch, yaw):
+    """(...,) eulers -> (..., 3, 3) rotation, R = Rz(yaw) Ry(pitch) Rx(roll)
+    (waymo transform_utils.get_rotation_matrix convention)."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rot = np.empty(np.shape(roll) + (3, 3))
+    rot[..., 0, 0] = cy * cp
+    rot[..., 0, 1] = cy * sp * sr - sy * cr
+    rot[..., 0, 2] = cy * sp * cr + sy * sr
+    rot[..., 1, 0] = sy * cp
+    rot[..., 1, 1] = sy * sp * sr + cy * cr
+    rot[..., 1, 2] = sy * sp * cr - cy * sr
+    rot[..., 2, 0] = -sp
+    rot[..., 2, 1] = cp * sr
+    rot[..., 2, 2] = cp * cr
+    return rot
+
+
+def range_image_to_points(ri: np.ndarray, calib, pose_ri=None,
+                          frame_pose=None):
     """(H, W, >=1) range image -> (N, 3) vehicle-frame xyz + (N, C-1)
-    extra channels, filtered to range > 0."""
+    extra channels, filtered to range > 0.
+
+    pose_ri (H, W, 6) [roll, pitch, yaw, x, y, z]: per-PIXEL vehicle pose
+    in the global frame (the TOP lidar's rolling-shutter ego-motion record,
+    waymo range_image_pose).  When given with frame_pose (4, 4), each point
+    is lifted to the global frame at its pixel's capture time and brought
+    back into THIS frame's vehicle frame — the compensation
+    frame_utils.convert_range_image_to_point_cloud applies."""
     h, w = ri.shape[:2]
     extr = np.asarray(calib.extrinsic.transform, np.float64).reshape(4, 4)
     inc = beam_inclinations(calib, h)
@@ -77,6 +104,15 @@ def range_image_to_points(ri: np.ndarray, calib):
     pts_l = r[..., None] * dirs
     pts_v = pts_l @ extr[:3, :3].T + extr[:3, 3]
     mask = r > 0
+    if pose_ri is not None and frame_pose is not None:
+        # pixels with an all-zero pose carry no ego-motion record (padding)
+        valid = np.abs(pose_ri).sum(-1) > 0
+        rot = _euler_to_rot(pose_ri[..., 0], pose_ri[..., 1],
+                            pose_ri[..., 2])
+        p_glob = np.einsum("hwij,hwj->hwi", rot, pts_v) + pose_ri[..., 3:6]
+        inv = np.linalg.inv(np.asarray(frame_pose, np.float64))
+        p_here = p_glob @ inv[:3, :3].T + inv[:3, 3]
+        pts_v = np.where(valid[..., None], p_here, pts_v)
     return pts_v[mask].astype(np.float32), ri[mask][:, 1:].astype(np.float32)
 
 
@@ -89,6 +125,8 @@ def parse_frame(record: bytes):
 def frame_points(frame) -> np.ndarray:
     """All lasers, both returns -> (N, 6): x y z intensity elongation nlz."""
     calibs = {c.name: c for c in frame.context.laser_calibrations}
+    frame_pose = (np.array(frame.pose.transform, np.float64).reshape(4, 4)
+                  if len(frame.pose.transform) == 16 else None)
     chunks = []
     for laser in frame.lasers:
         calib = calibs.get(laser.name)
@@ -98,7 +136,11 @@ def frame_points(frame) -> np.ndarray:
             if not ret.range_image_compressed:
                 continue
             ri = decode_matrix(ret.range_image_compressed)
-            xyz, extra = range_image_to_points(ri, calib)
+            pose_ri = None
+            if ret.range_image_pose_compressed:
+                pose_ri = decode_matrix(ret.range_image_pose_compressed)
+            xyz, extra = range_image_to_points(ri, calib, pose_ri,
+                                               frame_pose)
             feat = np.zeros((len(xyz), 3), np.float32)
             feat[:, :extra.shape[1]] = extra[:, :3]
             chunks.append(np.concatenate([xyz, feat], axis=1))
@@ -124,8 +166,12 @@ def process_single_sequence(tfrecord_path, out_dir, has_labels: bool = True):
         arr = frame_points(frame)
         np.save(out / f"{idx:04d}.npy", arr)
 
-        pose = np.array(frame.pose.transform, np.float32).reshape(4, 4) \
-            if len(frame.pose.transform) == 16 else np.eye(4, dtype=np.float32)
+        if len(frame.pose.transform) != 16:
+            raise ValueError(
+                f"frame {idx} of {seq_name}: pose.transform has "
+                f"{len(frame.pose.transform)} values (want 16) — schema "
+                "skew or corrupt record; refusing a silent identity pose")
+        pose = np.array(frame.pose.transform, np.float32).reshape(4, 4)
         info = {"point_cloud": {"lidar_sequence": seq_name, "sample_idx": idx},
                 "pose": pose, "frame_id": f"{seq_name}_{idx:03d}",
                 "timestamp": frame.timestamp_micros,

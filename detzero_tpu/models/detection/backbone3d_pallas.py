@@ -244,10 +244,7 @@ class PallasResBackbone8x(nn.Module):
 
 def _compact_feats(x_rp, entry, mp, nz, c):
     """(ny, nz*C, B) row-padded -> compact (MP, nz, C)."""
-    ny, w, b = x_rp.shape
-    flat = jnp.transpose(x_rp, (0, 2, 1)).reshape(ny * b, w)
-    got = flat[jnp.minimum(entry["rp_slot"], ny * b - 1)]
-    got = jnp.where(entry["rp_keep"][:, None], got, 0)
-    return got.reshape(mp, nz, c)
+    return pillars.from_rowpad(
+        x_rp, entry["rp_slot"], entry["rp_keep"]).reshape(mp, nz, c)
 
 

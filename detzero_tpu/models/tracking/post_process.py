@@ -84,13 +84,11 @@ class PostProcessor:
         if self.parity and getattr(t, "kf_vels", None) is not None \
                 and len(t.kf_vels) == len(centers):
             v = np.stack([np.asarray(kv, float) for kv in t.kf_vels])
-            n = min(self.header_length, len(centers) - 1)
-            v[:n] = (centers[1:n + 1] - centers[:n]) / dt
         else:
             v = np.gradient(centers, axis=0) / dt
-            if self.parity:
-                n = min(self.header_length, len(centers) - 1)
-                v[:n] = (centers[1:n + 1] - centers[:n]) / dt
+        if self.parity:
+            n = min(self.header_length, len(centers) - 1)
+            v[:n] = (centers[1:n + 1] - centers[:n]) / dt
         t.velocities = v
 
     def _motion_classify(self, t):

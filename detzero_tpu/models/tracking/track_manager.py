@@ -275,8 +275,9 @@ class TrackManager:
                                  if two_stage else boxes[di].copy())
                 trk.scores.insert(0, float(scores[di]))
                 trk.hits.insert(0, 2 if two_stage else 1)
-                # reverse-time filter: negate to get forward-time velocity
-                trk.kf_vels.insert(0, -np.asarray(
+                # the reverse filter runs with delta_t=-dt, so its state
+                # velocity is ALREADY forward-time — no negation
+                trk.kf_vels.insert(0, np.asarray(
                     rev_kf[trk.tid].velocity[:2], float))
                 trk.birth_frame = f
                 used[f][di] = True

@@ -173,3 +173,36 @@ def test_create_infos_and_gt_database(seq_tfrecord, tmp_path):
     with open(tmp_path / "gt_db.pkl", "rb") as f:
         db2 = pickle.load(f)
     assert len(db2["Vehicle"]) >= 0  # schema loads
+
+
+def test_rolling_shutter_pose_compensation():
+    """Per-pixel pose ri: points are lifted to global at pixel time and
+    brought back into this frame's vehicle frame.  With a constant pixel
+    pose G != frame pose F, decoded points must equal
+    inv(F) @ G @ (uncompensated vehicle points)."""
+    frame, ri, extr = _make_frame(0)
+    calib = frame.context.laser_calibrations[0]
+    xyz_plain, _ = wp.range_image_to_points(ri, calib)
+
+    # pixel pose: yaw 0.2, offset (3, -1, 0.5); frame pose: yaw -0.1, x 10
+    yaw_g, t_g = 0.2, np.array([3.0, -1.0, 0.5])
+    pose_ri = np.zeros(ri.shape[:2] + (6,), np.float32)
+    pose_ri[..., 2] = yaw_g
+    pose_ri[..., 3:6] = t_g
+    cf, sf = np.cos(-0.1), np.sin(-0.1)
+    F = np.array([[cf, -sf, 0, 10], [sf, cf, 0, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]])
+    xyz_comp, _ = wp.range_image_to_points(ri, calib, pose_ri, F)
+
+    G = np.eye(4)
+    cg, sg = np.cos(yaw_g), np.sin(yaw_g)
+    G[:2, :2] = [[cg, -sg], [sg, cg]]
+    G[:3, 3] = t_g
+    M = np.linalg.inv(F) @ G
+    expect = xyz_plain @ M[:3, :3].T + M[:3, 3]
+    np.testing.assert_allclose(xyz_comp, expect, atol=1e-4)
+
+    # all-zero pose rows (padding) stay uncompensated
+    pose_ri2 = np.zeros_like(pose_ri)
+    xyz_zero, _ = wp.range_image_to_points(ri, calib, pose_ri2, F)
+    np.testing.assert_allclose(xyz_zero, xyz_plain, atol=1e-5)
