@@ -57,6 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 # nbr arrays are (ny, NBR_ROWS, B) int32: rows 0..8 = tap ranks, rest pad
 NBR_ROWS = 16
 
+# opt-in: sliding-window subm kernel (1 input DMA/step instead of 3; see
+# rowpad_conv_sliding). Interpret-exact vs the halo kernel; flip the
+# default after the compiled kernel is timed on a live TPU.
+import os as _os
+
+USE_SLIDING = _os.environ.get("DETZERO_SLIDING_CONV", "0") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Weight layouts
@@ -166,6 +173,99 @@ def _dw_kernel(nbr_ref, dout_ref, slab_m, slab_0, slab_p, dw_ref,
     dw_ref[:] = acc
 
 
+def _conv_kernel_sliding(nbr_ref, w_ref, cur_ref, out_ref, ring0, ring1,
+                         g_scr, unf_scr, *, nz, cin, cout, out_nz):
+    """Sliding-window subm conv: grid step i DMAs ONLY table row i and
+    computes OUTPUT row i-1 from the ring (rows i-2, i-1) + the current
+    block — 1 input DMA per step instead of 3 (the three-halo variant
+    re-reads every row three times; DMA is the kernel's measured floor).
+
+    Ring parity: after step i, ring[i % 2] holds row i, so during step i
+    ring[i % 2] holds row i-2 and ring[(i+1) % 2] holds row i-1.  The two
+    parities duplicate the body under pl.when so ring indexing stays
+    static.  Output row 0's buffer is written at steps 0 and 1 with the
+    same out index — pallas flushes it after step 1 with the valid
+    content."""
+    i = pl.program_id(0)
+
+    def body(slab_m, slab_0):
+        _select(nbr_ref, (slab_m, slab_0, cur_ref), g_scr,
+                nz=nz, cin=cin, z_up=False)
+        w = w_ref[:].astype(jnp.bfloat16)
+        for u in range(nz + 2):
+            unf_scr[u] = jnp.dot(w, g_scr[u],
+                                 preferred_element_type=jnp.float32)
+        acc = None
+        for t in range(3):
+            part = unf_scr[t:t + out_nz, t * cout:(t + 1) * cout, :]
+            acc = part if acc is None else acc + part
+        out_ref[:] = acc.reshape(out_nz * cout, out_ref.shape[1]).astype(
+            out_ref.dtype)
+
+    even = (i % 2) == 0
+
+    @pl.when((i > 0) & even)
+    def _():
+        body(ring0, ring1)   # i-2 at ring[0], i-1 at ring[1]
+
+    @pl.when((i > 0) & jnp.logical_not(even))
+    def _():
+        body(ring1, ring0)
+
+    # rotate: the current row replaces row i-2
+    @pl.when(even)
+    def _():
+        ring0[:] = cur_ref[:]
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        ring1[:] = cur_ref[:]
+
+    # step 0 also seeds the OTHER buffer: output row 0's dy=-1 taps are
+    # invalid in nbr (select nothing), but an uninitialized ring could
+    # hold NaN bit patterns and 0 * NaN poisons the selection matmul
+    @pl.when(i == 0)
+    def _():
+        ring1[:] = cur_ref[:]
+
+
+@partial(jax.jit, static_argnames=("nz", "cin", "cout", "interpret"))
+def rowpad_conv_sliding(table, nbr, w2, *, nz, cin, cout, interpret=False):
+    """Sliding-window variant of rowpad_conv (subm mode, z_stride 1).
+    Grid has ny+1 steps; step i computes output row i-1.  Numerics are
+    identical to rowpad_conv (boundary taps are invalid in nbr, so the
+    clamped/garbage edge slabs select nothing)."""
+    ny, w_in, b = table.shape
+    last = ny - 1
+    kern = partial(_conv_kernel_sliding, nz=nz, cin=cin, cout=cout,
+                   out_nz=nz)
+    return pl.pallas_call(
+        kern,
+        grid=(ny + 1,),
+        in_specs=[
+            pl.BlockSpec((None, NBR_ROWS, b),
+                         lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * cout, 9 * cin), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, w_in, b),
+                         lambda i: (jnp.minimum(i, last), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, nz * cout, b),
+                               lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny, nz * cout, b), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((w_in, b), jnp.bfloat16),
+            pltpu.VMEM((w_in, b), jnp.bfloat16),
+            pltpu.VMEM((nz + 2, 9 * cin, b), jnp.bfloat16),
+            pltpu.VMEM((nz + 2, 3 * cout, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nbr, w2.astype(jnp.bfloat16), table.astype(jnp.bfloat16))
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -239,7 +339,7 @@ def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
             pltpu.VMEM((nz + 2, 3 * cout, b_out), jnp.float32),
         ],
         interpret=interpret,
-    )(nbr, w2.astype(jnp.bfloat16), table, table, table)
+    )(nbr, w2.astype(jnp.bfloat16), *((table.astype(jnp.bfloat16),) * 3))
 
 
 @partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
@@ -313,6 +413,10 @@ def make_conv_op(*, nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
         if pallas:
             # the kernel computes in bf16 (MXU-native); `dtype` only
             # affects the XLA reference path used on CPU/test backends
+            if USE_SLIDING and mode == "subm" and z_stride == 1:
+                return rowpad_conv_sliding(
+                    table, nbr, weight_fwd(weight, cin, cout),
+                    nz=nz, cin=cin, cout=cout)
             return rowpad_conv(table, nbr, weight_fwd(weight, cin, cout),
                                nz=nz, cin=cin, cout=cout, z_stride=z_stride,
                                out_nz=out_nz_, mode=mode)

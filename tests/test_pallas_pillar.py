@@ -170,3 +170,19 @@ def test_dw_down(geom):
     rel = (np.abs(np.float32(dwk) - np.float32(dwref)).max()
            / np.abs(np.float32(dwref)).max())
     assert rel < 0.03, rel
+
+
+def test_sliding_matches_halo(geom):
+    """The sliding-window subm kernel (1 DMA/step) must match the 3-halo
+    kernel exactly; boundary taps are invalid in real nbr maps, which is
+    what makes the clamped edge slabs safe."""
+    from detzero_tpu.ops.pallas_pillar import (rowpad_conv,
+                                               rowpad_conv_sliding,
+                                               weight_fwd)
+    w2 = weight_fwd(jnp.asarray(geom["weight"]), CIN, COUT)
+    base = rowpad_conv(jnp.asarray(geom["table"]), jnp.asarray(geom["nbr"]),
+                       w2, nz=NZ, cin=CIN, cout=COUT, interpret=True)
+    slid = rowpad_conv_sliding(jnp.asarray(geom["table"]),
+                               jnp.asarray(geom["nbr"]), w2,
+                               nz=NZ, cin=CIN, cout=COUT, interpret=True)
+    assert np.abs(np.float32(base) - np.float32(slid)).max() < 1e-3
