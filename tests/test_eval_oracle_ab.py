@@ -99,3 +99,40 @@ def test_perfect_detector_equal_scores_caps_at_005():
     for cls in CLASSES:
         assert res[cls]["AP_L2"] <= 0.0501
         assert abs(res[cls]["AP_L2"] - ores[cls]["AP_L2"]) < 1e-9
+
+
+def test_range_breakdown_sanity():
+    """Range shards: the evaluator's [0,30)/[30,50)/[50,inf) breakdown must
+    partition the class AP signal — each shard's AP computed on
+    range-filtered preds+gts equals an independent oracle-style
+    recomputation restricted the same way."""
+    rng = np.random.RandomState(11)
+    preds, gts = _random_scene(rng, n_frames=8)
+    res = evaluate_detection(preds, gts, ap_mode="waymo101",
+                             with_range_breakdown=True)
+    for cls in CLASSES:
+        for lo, hi in ((0, 30), (30, 50), (50, np.inf)):
+            key = f"AP_[{lo},{hi})"
+            assert key in res[cls]
+            # independent recomputation: filter boxes by center range on
+            # both sides, then run the CLEAN-ROOM oracle at L2 with the
+            # shard's gt count
+            def _filt(frames, box_key, extra):
+                out = []
+                for f in frames:
+                    b = np.asarray(f[box_key]).reshape(-1, 7)
+                    r = np.linalg.norm(b[:, :2], axis=1)
+                    keep = (r >= lo) & (r < hi)
+                    g = {box_key: b[keep],
+                         "name": np.asarray(f["name"])[keep]}
+                    for k in extra:
+                        g[k] = np.asarray(f[k])[keep]
+                    out.append(g)
+                return out
+            fp = _filt(preds, "boxes_lidar", ["score"])
+            fg = _filt(gts, "gt_boxes", ["difficulty", "num_points"])
+            op, og = _oracle_inputs(fp, fg)
+            # evaluator range shards use ALL difficulties (L2 semantics)
+            ores = oracle_evaluate(op, og)
+            assert abs(res[cls][key] - ores[cls]["AP_L2"]) < 5e-3, (
+                cls, key, res[cls][key], ores[cls]["AP_L2"])
