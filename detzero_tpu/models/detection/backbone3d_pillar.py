@@ -28,7 +28,8 @@ from detzero_tpu.ops import pillars
 
 
 def build_pillar_plan(table, grid_zyx, capacities: Sequence[int],
-                      site_mode: str = "principal", with_centroids: bool = True):
+                      site_mode: str = "principal", with_centroids: bool = True,
+                      with_gather_maps: bool = True):
     """Precompute pillar sets + neighbor maps for all stride levels.
 
     table: output of pillars.build_pillar_table at stride 1.
@@ -47,23 +48,28 @@ def build_pillar_plan(table, grid_zyx, capacities: Sequence[int],
         lut = cur.pop("lut", None)
         if lut is None:
             lut = pillars.build_row_lut(cur["cells"], cur["mask"], (ny, nx))
-        s_idx, s_found = pillars.build_subm_neighbors(
-            lut, cur["coords2d"], cur["mask"], (ny, nx))
         entry = dict(cur)
         entry["lut"] = lut  # PDV voxel_query_pillar probes through this
-        entry["subm_idx"], entry["subm_found"] = s_idx, s_found
+        if with_gather_maps:
+            # (MP, 9) global-row gather maps: only the XLA (gather-based)
+            # backbone uses these; the fused-pallas backend selects by
+            # per-row RANK (augment_plan_rowpad) and skips this work
+            s_idx, s_found = pillars.build_subm_neighbors(
+                lut, cur["coords2d"], cur["mask"], (ny, nx))
+            entry["subm_idx"], entry["subm_found"] = s_idx, s_found
         if lvl < 3:
             onz, ony, onx = grids[lvl + 1]
             nxt = pillars.downsample_pillars(
                 cur, (ny, nx), nz, capacities[lvl + 1], site_mode=site_mode)
-            d_idx, d_found = pillars.build_down_neighbors(
-                lut, nxt["coords2d"], nxt["mask"], (ny, nx))
             out_lut = pillars.build_row_lut(nxt["cells"], nxt["mask"],
                                             (ony, onx))
-            dt_idx, dt_found = pillars.build_down_transpose(
-                out_lut, cur["coords2d"], cur["mask"], (ony, onx))
-            entry["down_idx"], entry["down_found"] = d_idx, d_found
-            entry["down_idx_t"], entry["down_found_t"] = dt_idx, dt_found
+            if with_gather_maps:
+                d_idx, d_found = pillars.build_down_neighbors(
+                    lut, nxt["coords2d"], nxt["mask"], (ny, nx))
+                dt_idx, dt_found = pillars.build_down_transpose(
+                    out_lut, cur["coords2d"], cur["mask"], (ony, onx))
+                entry["down_idx"], entry["down_found"] = d_idx, d_found
+                entry["down_idx_t"], entry["down_found_t"] = dt_idx, dt_found
             nxt_level = {"cells": nxt["cells"], "coords2d": nxt["coords2d"],
                          "mask": nxt["mask"], "zmask": nxt["zmask"],
                          "lut": out_lut}

@@ -268,7 +268,8 @@ class CenterPoint:
                 plan = build_pillar_plan(
                     table, self.grid_zyx, self.pillar_capacities,
                     site_mode=self.site_mode,
-                    with_centroids=self.second_stage)
+                    with_centroids=self.second_stage,
+                    with_gather_maps=self.backend != "pillar_pallas")
                 if self.backend == "pillar_pallas":
                     from detzero_tpu.models.detection.backbone3d_pallas \
                         import augment_plan_rowpad
