@@ -534,7 +534,9 @@ def run_prefix():
         time_stage("prefix_voxelize", vox, (pts, pv), frames_per_iter=b)
     if want("tables"):
         time_stage("prefix_tables(voxelize+plan)",
-                   lambda p, v: model._tables(p, v)[1][0]["subm_idx"],
+                   lambda p, v: model._tables(p, v)[1][0][
+                       "rp_nbr" if model.backend == "pillar_pallas"
+                       else "subm_idx"],
                    (pts, pv), frames_per_iter=b)
     if want("backbone"):
         # backbone alone: tables prebuilt OUTSIDE the timed region
