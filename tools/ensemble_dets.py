@@ -23,6 +23,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# host-side CPU tool: pin the cpu backend before any detzero/jax.numpy
+# import (the image's sitecustomize otherwise dials the remote TPU, and a
+# dead tunnel blocks forever — CLAUDE.md)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
 
 def fuse_result_lists(results, class_names=("Vehicle", "Pedestrian",
                                             "Cyclist"), iou_thresh=None,
