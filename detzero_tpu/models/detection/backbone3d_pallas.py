@@ -33,6 +33,13 @@ from detzero_tpu.models.detection.backbone3d import plan_grids
 from detzero_tpu.ops import pillars
 from detzero_tpu.ops import pallas_pillar as ppk
 
+# opt-in: fuse the eval-mode BN affine + residual + ReLU + zmask into the
+# conv kernel's epilogue (removes one 2x-table-size elementwise HBM pass
+# per conv during inference). Interpret-exact; flip after TPU timing.
+import os as _os
+
+USE_FUSED_EVAL = _os.environ.get("DETZERO_FUSED_EVAL", "0") == "1"
+
 
 def augment_plan_rowpad(plan, grid_zyx, row_budget: int = 128):
     """Extend a build_pillar_plan() plan with the row-padded structures the
@@ -88,7 +95,8 @@ class SparseConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x_rp, zmask_rp, nbr, nbr_up=None, mode="subm",
-                 nz=None, out_nz=None, z_stride=1):
+                 nz=None, out_nz=None, z_stride=1, residual=None,
+                 fuse_relu=False):
         if self.kernel_volume == 3:
             # final (3,1,1) z-stride conv: x_rp is the COMPACT (MP, nz, C)
             # table (tiny at L3), zmask_rp the output-level compact zmask
@@ -116,23 +124,44 @@ class SparseConvBNReLU(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (self.kernel_volume, cin, self.features), jnp.float32,
         )
+        onz = out_nz if out_nz is not None else nz
+        bn = MaskedBatchNorm(
+            use_running_average=self.use_running_average,
+            axis_names=self.axis_names, dtype=self.dtype, channel_axis=2,
+        )
+        pallas_on = (ppk._on_tpu() if self.use_pallas is None
+                     else self.use_pallas)
+        if USE_FUSED_EVAL and pallas_on and self.use_running_average:
+            # extract the folded BN affine from the module's own running
+            # stats via two probe calls (param tree stays identical)
+            zeros = jnp.zeros((1, 1, self.features, 1), jnp.float32)
+            bi4 = bn(zeros).astype(jnp.float32)
+            sc4 = bn(zeros + 1.0).astype(jnp.float32) - bi4
+            out = ppk.rowpad_conv_fused(
+                x_rp.astype(jnp.bfloat16), nbr,
+                ppk.weight_fwd(w, cin, self.features),
+                sc4.reshape(self.features), bi4.reshape(self.features),
+                zmask_rp[:, :onz], residual,
+                nz=nz, cin=cin, cout=self.features, z_stride=z_stride,
+                out_nz=out_nz, mode=mode, relu=self.act or fuse_relu,
+                interpret=not ppk._on_tpu())
+            return out
         conv = ppk.make_conv_op(nz=nz, cin=cin, cout=self.features,
                                 z_stride=z_stride, out_nz=out_nz, mode=mode,
                                 use_pallas=self.use_pallas, dtype=self.dtype)
         x = conv(x_rp.astype(self.dtype), w,
                  nbr, nbr if nbr_up is None else nbr_up)
-        onz = out_nz if out_nz is not None else nz
         ny_o = x.shape[0]
         x4 = x.reshape(ny_o, onz, self.features, b)
         m4 = zmask_rp[:, :onz, None, :]
-        x4 = MaskedBatchNorm(
-            use_running_average=self.use_running_average,
-            axis_names=self.axis_names, dtype=self.dtype, channel_axis=2,
-        )(x4, m4)
+        x4 = bn(x4, m4)
         if self.act:
             x4 = nn.relu(x4)
         x4 = jnp.where(m4, x4, 0.0)
-        return x4.reshape(ny_o, onz * self.features, b)
+        x4 = x4.reshape(ny_o, onz * self.features, b)
+        if residual is not None:
+            x4 = nn.relu(x4 + residual.astype(x4.dtype))
+        return x4
 
 
 class SparseBasicBlock(nn.Module):
@@ -153,12 +182,13 @@ class SparseBasicBlock(nn.Module):
             axis_names=self.axis_names, dtype=self.dtype,
             use_pallas=self.use_pallas,
         )(x_rp, zmask_rp, nbr, nz=nz)
-        x = SparseConvBNReLU(
+        # the second conv absorbs the skip-add + final ReLU; on the fused
+        # eval path all of it happens inside the kernel epilogue
+        return SparseConvBNReLU(
             self.features, 27, self.use_running_average, act=False,
             axis_names=self.axis_names, dtype=self.dtype,
             use_pallas=self.use_pallas,
-        )(x, zmask_rp, nbr, nz=nz)
-        return nn.relu(x + identity.astype(x.dtype))
+        )(x, zmask_rp, nbr, nz=nz, residual=identity, fuse_relu=True)
 
 
 class PallasResBackbone8x(nn.Module):

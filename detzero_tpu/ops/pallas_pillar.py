@@ -113,10 +113,45 @@ def _select(nbr_ref, slabs, g_scr, *, nz, cin, z_up):
             gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
 
 
-def _conv_kernel(nbr_ref, w_ref, slab_m, slab_0, slab_p, out_ref,
-                 g_scr, unf_scr, *, nz, cin, cout, z_stride, out_nz, z_up):
+def _epilogue(acc3, out_ref, epi_refs, *, out_nz, cout, relu):
+    """acc3 (out_nz, cout, B) f32 -> out_ref, optionally through the fused
+    eval-mode epilogue: y = relu(acc * scale + bias [+ residual]) * zmask.
+    epi_refs: (sc_ref (1, cout), bi_ref (1, cout), zm_ref (out_nz, B),
+    res_ref (out_nz*cout, B) or None)."""
+    b_out = out_ref.shape[1]
+    if epi_refs is None:
+        out_ref[:] = acc3.reshape(out_nz * cout, b_out).astype(out_ref.dtype)
+        return
+    sc_ref, bi_ref, zm_ref, res_ref = epi_refs
+    sc = sc_ref[:].reshape(1, cout, 1)
+    bi = bi_ref[:].reshape(1, cout, 1)
+    y = acc3 * sc + bi
+    if res_ref is not None:
+        y = y + res_ref[:].reshape(out_nz, cout, b_out).astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    zm = zm_ref[:].reshape(out_nz, 1, b_out).astype(jnp.float32)
+    y = y * zm
+    out_ref[:] = y.reshape(out_nz * cout, b_out).astype(out_ref.dtype)
+
+
+def _conv_kernel(nbr_ref, w_ref, *rest, nz, cin, cout,
+                 z_stride, out_nz, z_up, n_epi=0, relu=True):
     """One BEV row of outputs: select 9 neighbor pillars from the three
-    halo slabs, unfold-matmul each z row, overlap-add the 3 z taps."""
+    halo slabs, unfold-matmul each z row, overlap-add the 3 z taps,
+    optionally apply the fused eval-mode BN/residual/ReLU/zmask epilogue
+    (n_epi = number of epilogue input refs: 3 or 4).
+
+    Positional refs: slab_m, slab_0, slab_p, [epi...], out, g_scr,
+    unf_scr."""
+    g_scr, unf_scr = rest[-2], rest[-1]
+    out_ref = rest[-3]
+    slab_m, slab_0, slab_p = rest[:3]
+    if n_epi:
+        epi = rest[3:3 + n_epi]
+        epi_refs = (epi[0], epi[1], epi[2], epi[3] if n_epi == 4 else None)
+    else:
+        epi_refs = None
     b_out = out_ref.shape[1]
     _select(nbr_ref, (slab_m, slab_0, slab_p), g_scr,
             nz=nz, cin=cin, z_up=z_up)
@@ -134,7 +169,7 @@ def _conv_kernel(nbr_ref, w_ref, slab_m, slab_0, slab_p, out_ref,
             part = unf_scr[t:t + span + 1, t * cout:(t + 1) * cout, :]
             part = part.reshape(out_nz, 2, cout, b_out)[:, 0]
         acc = part if acc is None else acc + part
-    out_ref[:] = acc.reshape(out_nz * cout, b_out).astype(out_ref.dtype)
+    _epilogue(acc, out_ref, epi_refs, out_nz=out_nz, cout=cout, relu=relu)
 
 
 def _dw_kernel(nbr_ref, dout_ref, slab_m, slab_0, slab_p, dw_ref,
@@ -340,6 +375,66 @@ def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
         ],
         interpret=interpret,
     )(nbr, w2.astype(jnp.bfloat16), *((table.astype(jnp.bfloat16),) * 3))
+
+
+@partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
+                                   "mode", "relu", "interpret"))
+def rowpad_conv_fused(table, nbr, w2, scale, bias, zmask, residual=None, *,
+                      nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
+                      relu=True, interpret=False):
+    """rowpad_conv + fused EVAL-mode epilogue in one kernel:
+        out = relu(conv * scale + bias [+ residual]) * zmask
+    scale/bias: (cout,) folded BN affine (scale * rsqrt(var + eps) and
+    bias - mean * that); zmask: (ny_out, out_nz, B) bool/int8; residual:
+    optional (ny_out, out_nz*cout, B) (the basic-block skip), subm only.
+    Removes the separate 2x-table-size elementwise HBM pass XLA otherwise
+    runs after every conv during inference."""
+    ny_in, w_in, b_in = table.shape
+    ny_out, _, b_out = nbr.shape
+    out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
+    m_m, m_0, m_p = _row_maps(mode, ny_in)
+    n_epi = 4 if residual is not None else 3
+    kern = partial(_conv_kernel, nz=nz, cin=cin, cout=cout,
+                   z_stride=z_stride, out_nz=out_nz, z_up=False,
+                   n_epi=n_epi, relu=relu)
+    in_specs = [
+        pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * cout, 9 * cin), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, w_in, b_in), m_m, memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, w_in, b_in), m_0, memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, w_in, b_in), m_p, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, out_nz, b_out), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [nbr, w2.astype(jnp.bfloat16)] \
+        + [table.astype(jnp.bfloat16)] * 3 \
+        + [scale.reshape(1, cout).astype(jnp.float32),
+           bias.reshape(1, cout).astype(jnp.float32),
+           zmask.astype(jnp.int8)]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((None, out_nz * cout, b_out),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual.astype(jnp.bfloat16))
+    return pl.pallas_call(
+        kern,
+        grid=(ny_out,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, out_nz * cout, b_out),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny_out, out_nz * cout, b_out),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((nz + 2, 9 * cin, b_out), jnp.bfloat16),
+            pltpu.VMEM((nz + 2, 3 * cout, b_out), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
 
 
 @partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
