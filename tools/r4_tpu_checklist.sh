@@ -11,12 +11,15 @@ timeout 2400 python bench.py
 # 2. train-step number (custom-VJP pallas backward path)
 BENCH_TRAIN=1 BENCH_SCAN=4 timeout 3000 python bench.py
 
-# 3. sliding-window kernel timing (flip the default in
-#    ops/pallas_pillar.py if it wins)
+# 3. kernel variants: sliding-window DMA + fused eval epilogue (flip the
+#    defaults in ops/pallas_pillar.py / backbone3d_pallas.py if they win)
 BISECT_ONLY=pallas_conv_l0 BISECT_SCAN=64 timeout 1800 \
     python tools/bisect_perf.py micro
 DETZERO_SLIDING_CONV=1 BISECT_ONLY=pallas_conv_l0 BISECT_SCAN=64 \
     timeout 1800 python tools/bisect_perf.py micro
+DETZERO_FUSED_EVAL=1 BENCH_BUDGET_S=1800 timeout 2400 python bench.py
+DETZERO_FUSED_EVAL=1 DETZERO_SLIDING_CONV=1 BENCH_BUDGET_S=1800 \
+    timeout 2400 python bench.py
 
 # 4. batch scaling (r2: batch 4 kernel-faulted, batch 2 ran 2.9x — retest
 #    with the pallas backend)
