@@ -44,10 +44,19 @@ def data():
     return pts, pv, gb, gc, gv
 
 
-def test_forward_parity(data):
+@pytest.fixture(scope="module")
+def models(data):
+    """Shared model pair + variables (each CenterPoint init costs a full
+    CPU compile; building them once per module keeps the file fast)."""
     pts, pv, *_ = data
     m1, m2 = _build("pillar"), _build("pillar_pallas")
-    v1 = m1.init(jax.random.PRNGKey(0), pts, pv)
+    v = m1.init(jax.random.PRNGKey(0), pts, pv)
+    return m1, m2, v
+
+
+def test_forward_parity(data, models):
+    pts, pv, *_ = data
+    m1, m2, v1 = models
     v2 = m2.init(jax.random.PRNGKey(0), pts, pv)
     assert jax.tree.structure(v1) == jax.tree.structure(v2)
     p1, _, _ = m1.apply(v1, pts, pv, train=False, mutable_stats=False)
@@ -57,10 +66,9 @@ def test_forward_parity(data):
         assert np.abs(a - b).max() < 0.05 * max(np.abs(a).max(), 1.0), k
 
 
-def test_loss_and_grad_parity(data):
+def test_loss_and_grad_parity(data, models):
     pts, pv, gb, gc, gv = data
-    m1, m2 = _build("pillar"), _build("pillar_pallas")
-    v = m1.init(jax.random.PRNGKey(0), pts, pv)
+    m1, m2, v = models
 
     def loss(m, params):
         l, _ = m.loss({"params": params, "batch_stats": v["batch_stats"]},
