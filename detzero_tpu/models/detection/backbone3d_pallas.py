@@ -132,15 +132,15 @@ class SparseConvBNReLU(nn.Module):
         pallas_on = (ppk._on_tpu() if self.use_pallas is None
                      else self.use_pallas)
         if USE_FUSED_EVAL and pallas_on and self.use_running_average:
-            # extract the folded BN affine from the module's own running
-            # stats via two probe calls (param tree stays identical)
+            # folded BN affine in f32 straight from the module's running
+            # stats (param tree stays identical; a bf16 probe-difference
+            # fold cancels catastrophically when |bias| >> |scale|)
             zeros = jnp.zeros((1, 1, self.features, 1), jnp.float32)
-            bi4 = bn(zeros).astype(jnp.float32)
-            sc4 = bn(zeros + 1.0).astype(jnp.float32) - bi4
+            sc4, bi4 = bn(zeros, return_affine=True)
             out = ppk.rowpad_conv_fused(
                 x_rp.astype(jnp.bfloat16), nbr,
                 ppk.weight_fwd(w, cin, self.features),
-                sc4.reshape(self.features), bi4.reshape(self.features),
+                sc4, bi4,
                 zmask_rp[:, :onz], residual,
                 nz=nz, cin=cin, cout=self.features, z_stride=z_stride,
                 out_nz=out_nz, mode=mode, relu=self.act or fuse_relu,

@@ -38,13 +38,23 @@ class MaskedBatchNorm(nn.Module):
     channel_axis: int = -1
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, return_affine=False):
         ch = self.channel_axis % x.ndim
         c = x.shape[ch]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c, jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if return_affine:
+            # folded eval-mode affine IN FLOAT32 (probing the module's
+            # bf16 outputs instead suffers catastrophic cancellation when
+            # |bias| >> |scale|): y = x * sc2 + bi2
+            if not self.use_running_average:
+                raise ValueError("return_affine requires running averages")
+            sc2 = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            bi2 = bias - ra_mean.value * sc2
+            return sc2, bi2
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value

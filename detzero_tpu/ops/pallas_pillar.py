@@ -392,6 +392,8 @@ def rowpad_conv_fused(table, nbr, w2, scale, bias, zmask, residual=None, *,
     ny_in, w_in, b_in = table.shape
     ny_out, _, b_out = nbr.shape
     out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
+    if z_stride == 2 and nz % 2:
+        raise ValueError("z_stride=2 requires even nz")
     m_m, m_0, m_p = _row_maps(mode, ny_in)
     n_epi = 4 if residual is not None else 3
     kern = partial(_conv_kernel, nz=nz, cin=cin, cout=cout,

@@ -110,29 +110,29 @@ def test_range_breakdown_sanity():
     preds, gts = _random_scene(rng, n_frames=8)
     res = evaluate_detection(preds, gts, ap_mode="waymo101",
                              with_range_breakdown=True)
-    for cls in CLASSES:
-        for lo, hi in ((0, 30), (30, 50), (50, np.inf)):
-            key = f"AP_[{lo},{hi})"
+
+    def _filt(frames, box_key, extra, lo, hi):
+        out = []
+        for f in frames:
+            b = np.asarray(f[box_key]).reshape(-1, 7)
+            r = np.linalg.norm(b[:, :2], axis=1)
+            keep = (r >= lo) & (r < hi)
+            g = {box_key: b[keep], "name": np.asarray(f["name"])[keep]}
+            for k in extra:
+                g[k] = np.asarray(f[k])[keep]
+            out.append(g)
+        return out
+
+    # the shard filter and oracle pass are class-independent: evaluate
+    # each shard ONCE, then check all classes against it
+    for lo, hi in ((0, 30), (30, 50), (50, np.inf)):
+        fp = _filt(preds, "boxes_lidar", ["score"], lo, hi)
+        fg = _filt(gts, "gt_boxes", ["difficulty", "num_points"], lo, hi)
+        op, og = _oracle_inputs(fp, fg)
+        # evaluator range shards use ALL difficulties (L2 semantics)
+        ores = oracle_evaluate(op, og)
+        key = f"AP_[{lo},{hi})"
+        for cls in CLASSES:
             assert key in res[cls]
-            # independent recomputation: filter boxes by center range on
-            # both sides, then run the CLEAN-ROOM oracle at L2 with the
-            # shard's gt count
-            def _filt(frames, box_key, extra):
-                out = []
-                for f in frames:
-                    b = np.asarray(f[box_key]).reshape(-1, 7)
-                    r = np.linalg.norm(b[:, :2], axis=1)
-                    keep = (r >= lo) & (r < hi)
-                    g = {box_key: b[keep],
-                         "name": np.asarray(f["name"])[keep]}
-                    for k in extra:
-                        g[k] = np.asarray(f[k])[keep]
-                    out.append(g)
-                return out
-            fp = _filt(preds, "boxes_lidar", ["score"])
-            fg = _filt(gts, "gt_boxes", ["difficulty", "num_points"])
-            op, og = _oracle_inputs(fp, fg)
-            # evaluator range shards use ALL difficulties (L2 semantics)
-            ores = oracle_evaluate(op, og)
             assert abs(res[cls][key] - ores[cls]["AP_L2"]) < 5e-3, (
                 cls, key, res[cls][key], ores[cls]["AP_L2"])

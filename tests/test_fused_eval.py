@@ -50,7 +50,11 @@ def _run(fused, x, nbr, zmask, res, variables=None):
 
 def test_fused_eval_epilogue_parity(data):
     x, nbr, zmask, res = data
-    ref, variables = _run(False, x, nbr, zmask, res)
+    mod = bp.SparseConvBNReLU(C, 27, use_running_average=True, act=False,
+                              use_pallas=False)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(zmask), jnp.asarray(nbr), nz=NZ,
+                         residual=jnp.asarray(res), fuse_relu=True)
     # nontrivial running stats so the affine fold is exercised
     rng = np.random.RandomState(1)
     variables = jax.tree_util.tree_map(lambda a: a, variables)

@@ -361,6 +361,24 @@ def run_micro():
                                    nz=NZ_, cin=NC_, cout=NC_)
         time_stage("pallas_conv_l0_rowpad", pk, (tab, nbr, w2),
                    note="fused pallas pillar conv, L0 (1504 rows x 128)")
+    if want("pallas_conv_l0_sliding"):
+        _pp, tab, nbr, w2 = _pallas_fixture(1504, 128, NZ_, NC_, NC_)
+        def pks(t, n, w):
+            return _pp.rowpad_conv_sliding(t.astype(jnp.bfloat16), n, w,
+                                           nz=NZ_, cin=NC_, cout=NC_)
+        time_stage("pallas_conv_l0_sliding", pks, (tab, nbr, w2),
+                   note="sliding-window variant (1 input DMA/step)")
+    if want("pallas_conv_l0_fusedbn"):
+        _pp, tab, nbr, w2 = _pallas_fixture(1504, 128, NZ_, NC_, NC_)
+        sc = np.ones(NC_, np.float32); bi = np.zeros(NC_, np.float32)
+        zm = (np.random.RandomState(3).rand(1504, NZ_, 128) < 0.5)
+        def pkf(t, n, w):
+            return _pp.rowpad_conv_fused(t.astype(jnp.bfloat16), n, w,
+                                         jnp.asarray(sc), jnp.asarray(bi),
+                                         jnp.asarray(zm), None,
+                                         nz=NZ_, cin=NC_, cout=NC_)
+        time_stage("pallas_conv_l0_fusedbn", pkf, (tab, nbr, w2),
+                   note="fused BN/ReLU/zmask epilogue variant")
     if want("pallas_conv_l0_down"):
         _pp, tab, _, _ = _pallas_fixture(1504, 128, NZ_, NC_, NC_)
         _, _, nbrd0, w2d = _pallas_fixture(752, 128, NZ_, NC_, 2 * NC_, seed=6)
@@ -532,11 +550,23 @@ def run_prefix():
             def vox(p, v):
                 return jax.vmap(model.voxelize)(p, v)["voxel_features"]
         time_stage("prefix_voxelize", vox, (pts, pv), frames_per_iter=b)
+    def _touch_tables(model, p, v):
+        # sum a leaf from EVERY plan product + the table feats so XLA
+        # cannot dead-code-eliminate any of the build (an earlier version
+        # returned one level-0 leaf and measured LESS than voxelize alone)
+        import jax.numpy as _jnp
+
+        table, plan = model._tables(p, v)
+        feats = table["feats" if model.backend.startswith("pillar")
+                      else "voxel_features"]
+        tot = feats.astype(_jnp.float32).sum()
+        for entry in jax.tree.leaves(plan):
+            tot = tot + entry.astype(_jnp.float32).sum()
+        return tot
+
     if want("tables"):
         time_stage("prefix_tables(voxelize+plan)",
-                   lambda p, v: model._tables(p, v)[1][0][
-                       "rp_nbr" if model.backend == "pillar_pallas"
-                       else "subm_idx"],
+                   lambda p, v: _touch_tables(model, p, v),
                    (pts, pv), frames_per_iter=b)
     if want("backbone"):
         # backbone alone: tables prebuilt OUTSIDE the timed region

@@ -20,12 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-# host-side CPU tool: pin the cpu backend before any detzero/jax.numpy
-# import (the image's sitecustomize otherwise dials the remote TPU, and a
-# dead tunnel blocks forever — CLAUDE.md)
-import jax
-
-jax.config.update("jax_platforms", "cpu")
+import _cpu_pin  # noqa: F401  (host-side tool: cpu backend, see tools/_cpu_pin)
 
 
 
