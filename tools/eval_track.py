@@ -9,7 +9,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import _cpu_pin  # noqa: F401  (host-side tool: cpu backend, see tools/_cpu_pin)
+from tools import _cpu_pin  # noqa: F401  (cpu backend pin; repo root on sys.path above)
 
 
 

@@ -15,7 +15,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import _cpu_pin  # noqa: F401  (host-side tool: cpu backend, see tools/_cpu_pin)
+from tools import _cpu_pin  # noqa: F401  (cpu backend pin; repo root on sys.path above)
 
 
 
