@@ -59,9 +59,17 @@ def _flops_cpu(fn, *args):
         5674 f/s — pure dispatch), and compiling a second TPU executable
         just for cost_analysis costs ~23 min of remote-compile. FLOPs are
         platform-independent, and the cpu backend is always registered
-        alongside axon, so a seconds-cheap CPU compile gives the count."""
+        alongside axon, so a seconds-cheap CPU compile gives the count.
+
+    The Mosaic (pallas) kernels cannot lower for the cpu backend, so the
+    trace is forced onto the XLA reference conv path (DETZERO_FORCE_PALLAS=0,
+    honored at trace time by ops/pallas_pillar.resolve_use_pallas) — same
+    algorithmic FLOPs, cpu-lowerable. Without this the r3 headline silently
+    fell back to the analytic estimate."""
     import jax
 
+    prev = os.environ.get("DETZERO_FORCE_PALLAS")
+    os.environ["DETZERO_FORCE_PALLAS"] = "0"
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
@@ -74,7 +82,16 @@ def _flops_cpu(fn, *args):
         f = float(cost.get("flops", 0.0))
         return f if f > 0 else None
     except Exception:
+        import sys
+        import traceback
+        print("_flops_cpu failed:", file=sys.stderr)
+        traceback.print_exc()
         return None
+    finally:
+        if prev is None:
+            os.environ.pop("DETZERO_FORCE_PALLAS", None)
+        else:
+            os.environ["DETZERO_FORCE_PALLAS"] = prev
 
 
 def bench_train(tiny: bool):
@@ -226,18 +243,28 @@ def main():
     batch = pts.shape[0]
     dev = jax.devices()[0]
 
-    # FLOP count first: a seconds-cheap CPU compile, needed for the headline's
-    # mfu field (and the mfu<=1 sanity gate)
+    # FLOP count: a seconds-cheap CPU compile of the XLA REFERENCE conv path
+    # (the Mosaic kernels cannot lower for cpu; DETZERO_FORCE_PALLAS=0 inside
+    # _flops_cpu). That graph materializes the 9-offset gathers, so its count
+    # (~3 TFLOP/frame) is implementation FLOPs, not useful work — reporting
+    # mfu against it would INFLATE the number ~9x. mfu stays on the
+    # conservative algorithmic estimate (27-tap sparse conv + dense BEV
+    # stack, hand-derived: CLAUDE.md r2); the measured XLA count is printed
+    # alongside as a crosscheck so the source is never a silent fallback.
     single_flops = _flops_cpu(fn, variables, pts, pv)
+    flops_per_frame = FALLBACK_FLOPS_PER_FRAME
     if single_flops:
-        flops_per_frame = single_flops / batch
-        flops_src = "xla_cost_analysis_cpu"
+        flops_xla = single_flops / batch
+        flops_src = "analytic(mfu)+xla_cost_analysis_cpu(crosscheck)"
     else:
-        flops_per_frame, flops_src = FALLBACK_FLOPS_PER_FRAME, \
-            "analytic_estimate"
+        flops_xla = None
+        flops_src = "analytic_estimate(xla_cpu_count_failed)"
 
     # ---- primary: serial scan (device throughput; overlap-proof) ----------
-    scan_len = int(os.environ.get("BENCH_SCAN", "2" if tiny else "4"))
+    # scan >= 16 at full scale: the per-CALL tunnel overhead (~40 ms) divided
+    # by the scan length biases short scans (+10 ms/iter at scan 4 — the r3
+    # headline carried that; COMPONENTS.md scan-floor calibration)
+    scan_len = int(os.environ.get("BENCH_SCAN", "2" if tiny else "16"))
     pts_k = jnp.broadcast_to(jnp.asarray(pts), (scan_len,) + pts.shape)
     pv_k = jnp.broadcast_to(jnp.asarray(pv), (scan_len,) + pv.shape)
 
@@ -281,7 +308,7 @@ def main():
         f"{mfu:.2f} MFU > 1.0 on {dev.device_kind}: measurement is not device "
         f"throughput — refusing to report")
 
-    print(json.dumps({
+    rec = {
         "metric": "centerpoint_waymo_inference" + ("_tiny" if tiny else ""),
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
@@ -292,7 +319,10 @@ def main():
         "device": getattr(dev, "device_kind", dev.platform),
         "methodology": f"serial lax.scan x{scan_len}, batch {batch}, "
                        f"{n_iter} synchronous calls",
-    }), flush=True)
+    }
+    if flops_xla:
+        rec["flops_xla_cpu_reference"] = round(flops_xla)
+    print(json.dumps(rec), flush=True)
 
     # ---- optional extras (stderr only; never delay the headline) ----------
     if os.environ.get("BENCH_PIPELINED", "0") == "1" and left() > 120:

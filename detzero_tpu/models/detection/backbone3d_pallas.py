@@ -33,12 +33,15 @@ from detzero_tpu.models.detection.backbone3d import plan_grids
 from detzero_tpu.ops import pillars
 from detzero_tpu.ops import pallas_pillar as ppk
 
-# opt-in: fuse the eval-mode BN affine + residual + ReLU + zmask into the
-# conv kernel's epilogue (removes one 2x-table-size elementwise HBM pass
-# per conv during inference). Interpret-exact; flip after TPU timing.
+# Fuse the eval-mode BN affine + residual + ReLU + zmask into the conv
+# kernel's epilogue (removes one 2x-table-size elementwise HBM pass per
+# conv during inference). Interpret-exact (tests/test_fused_eval.py);
+# DEFAULT ON since r4 TPU timing: kernel-level 4.27 vs 4.24 ms at L0 but
+# the full predict graph gains ~1 f/s from the removed XLA BN passes.
+# DETZERO_FUSED_EVAL=0 restores the unfused path for measurement.
 import os as _os
 
-USE_FUSED_EVAL = _os.environ.get("DETZERO_FUSED_EVAL", "0") == "1"
+USE_FUSED_EVAL = _os.environ.get("DETZERO_FUSED_EVAL", "1") == "1"
 
 
 def augment_plan_rowpad(plan, grid_zyx, row_budget: int = 128):
@@ -129,8 +132,7 @@ class SparseConvBNReLU(nn.Module):
             use_running_average=self.use_running_average,
             axis_names=self.axis_names, dtype=self.dtype, channel_axis=2,
         )
-        pallas_on = (ppk._on_tpu() if self.use_pallas is None
-                     else self.use_pallas)
+        pallas_on = ppk.resolve_use_pallas(self.use_pallas)
         if USE_FUSED_EVAL and pallas_on and self.use_running_average:
             # folded BN affine in f32 straight from the module's running
             # stats (param tree stays identical; a bf16 probe-difference

@@ -123,6 +123,12 @@ def _pair_union_hull_bev(box_a, box_b):
 
 
 def _use_pallas():
+    # DETZERO_FORCE_PALLAS=0 forces the XLA clip path even on TPU — used by
+    # bench._flops_cpu to make the whole graph cpu-lowerable (Mosaic
+    # kernels only lower for TPU)
+    import os
+    if os.environ.get("DETZERO_FORCE_PALLAS") == "0":
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:

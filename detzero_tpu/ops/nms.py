@@ -18,6 +18,11 @@ from detzero_tpu.ops.box_ops import boxes3d_to_bev
 
 
 def _fused_nms_available():
+    # DETZERO_FORCE_PALLAS=0 forces the XLA path (cpu-lowerable graphs for
+    # bench._flops_cpu); see ops/iou3d._use_pallas
+    import os
+    if os.environ.get("DETZERO_FORCE_PALLAS") == "0":
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:

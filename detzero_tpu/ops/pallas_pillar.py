@@ -64,6 +64,11 @@ import os as _os
 
 USE_SLIDING = _os.environ.get("DETZERO_SLIDING_CONV", "0") == "1"
 
+# opt-out: rank-shift selection of the dy=0 taps in subm convs (see
+# _select docstring). Bit-exact vs the one-hot path; kill switch for
+# measurement only.
+SHIFT_TAPS = _os.environ.get("DETZERO_SHIFT_TAPS", "1") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Weight layouts
@@ -86,19 +91,44 @@ def weight_bwd(weight, cin, cout):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _select(nbr_ref, slabs, g_scr, *, nz, cin, z_up):
+def _select(nbr_ref, slabs, g_scr, *, nz, cin, z_up, shift_taps=False):
     """Fill g_scr (nz+2, 9*cin, B) with the 9 selected neighbor pillars
     (zeros at the z-pad rows and where nbr >= B_in).  With z_up, each slab
     holds nz//2 z-values that land on even z (zero-stuffed upsampling for
-    the transposed strided conv)."""
+    the transposed strided conv).
+
+    shift_taps (subm-only, B_in == B_out): within a BEV row pillars are
+    RANK-ordered by x (cells sorted), so the dy=0 taps never need the
+    one-hot matmul — tap (0,0) selects rank r (identity), and the (0,±1)
+    neighbor, when present, is exactly rank r∓... r±1 (an x-adjacent cell
+    is the adjacent rank).  A lane roll + found-mask multiply replaces 3 of
+    the 9 MXU selections (the kernel is selection-compute-bound: 189 vs
+    126 MFLOP/row at L0).  Bit-exact: the one-hot matmul also produced the
+    unmodified bf16 source value."""
     b_in = slabs[0].shape[1]
     b_out = g_scr.shape[2]
     iota = jax.lax.broadcasted_iota(jnp.int32, (b_in, b_out), 0)
     g_scr[0] = jnp.zeros_like(g_scr[0])
     g_scr[nz + 1] = jnp.zeros_like(g_scr[0])
     for j in range(9):
-        oh = (nbr_ref[j:j + 1, :] == iota).astype(jnp.bfloat16)
         src = slabs[j // 3][:].astype(jnp.bfloat16)
+        if shift_taps and j in (3, 4, 5) and not z_up:
+            # found mask: nbr rank < B_in (absent taps encode >= B_in).
+            # Lane 0 (j=3) / lane B-1 (j=5) can never be found — their
+            # would-be neighbor rank is -1 / B — so the roll wraparound
+            # is always masked.
+            fnd = (nbr_ref[j:j + 1, :] < b_in).astype(jnp.bfloat16)
+            if j != 4:
+                # Mosaic's vector rotate is 32-bit only ("Rotate with
+                # non-32-bit data" compile error on bf16) — roll in f32
+                shift = 1 if j == 3 else b_in - 1  # b_in-1 == roll(-1)
+                src = pltpu.roll(src.astype(jnp.float32), shift,
+                                 1).astype(jnp.bfloat16)
+            gj = src * fnd
+            g_scr[1:nz + 1, j * cin:(j + 1) * cin, :] = (
+                gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
+            continue
+        oh = (nbr_ref[j:j + 1, :] == iota).astype(jnp.bfloat16)
         # Mosaic requires a 32-bit matmul accumulator; one-hot rows have at
         # most one term, so the f32->bf16 round-trip is exact
         gj = jax.lax.dot_general(src, oh, (((1,), (0,)), ((), ())),
@@ -136,7 +166,8 @@ def _epilogue(acc3, out_ref, epi_refs, *, out_nz, cout, relu):
 
 
 def _conv_kernel(nbr_ref, w_ref, *rest, nz, cin, cout,
-                 z_stride, out_nz, z_up, n_epi=0, relu=True):
+                 z_stride, out_nz, z_up, n_epi=0, relu=True,
+                 shift_taps=False):
     """One BEV row of outputs: select 9 neighbor pillars from the three
     halo slabs, unfold-matmul each z row, overlap-add the 3 z taps,
     optionally apply the fused eval-mode BN/residual/ReLU/zmask epilogue
@@ -154,7 +185,7 @@ def _conv_kernel(nbr_ref, w_ref, *rest, nz, cin, cout,
         epi_refs = None
     b_out = out_ref.shape[1]
     _select(nbr_ref, (slab_m, slab_0, slab_p), g_scr,
-            nz=nz, cin=cin, z_up=z_up)
+            nz=nz, cin=cin, z_up=z_up, shift_taps=shift_taps)
     w = w_ref[:].astype(jnp.bfloat16)             # (3*cout, 9*cin)
     for u in range(nz + 2):
         unf_scr[u] = jnp.dot(w, g_scr[u],
@@ -173,7 +204,8 @@ def _conv_kernel(nbr_ref, w_ref, *rest, nz, cin, cout,
 
 
 def _dw_kernel(nbr_ref, dout_ref, slab_m, slab_0, slab_p, dw_ref,
-               g_scr, ug_scr, *, nz, cin, cout, z_stride, out_nz):
+               g_scr, ug_scr, *, nz, cin, cout, z_stride, out_nz,
+               shift_taps=False):
     """Accumulate the weight gradient over the grid: rebuild the gathered
     block g (as in forward), scatter d_out into the unfold layout (adjoint
     of the overlap-add), contract.  dw (3*cout, 9*cin) f32 with a constant
@@ -181,7 +213,7 @@ def _dw_kernel(nbr_ref, dout_ref, slab_m, slab_0, slab_p, dw_ref,
     i = pl.program_id(0)
     b = dout_ref.shape[1]
     _select(nbr_ref, (slab_m, slab_0, slab_p), g_scr,
-            nz=nz, cin=cin, z_up=False)
+            nz=nz, cin=cin, z_up=False, shift_taps=shift_taps)
     dout = dout_ref[:].reshape(out_nz, cout, b).astype(jnp.bfloat16)
     if z_stride == 2:
         half = dout.reshape(out_nz, 1, cout, b)
@@ -225,7 +257,7 @@ def _conv_kernel_sliding(nbr_ref, w_ref, cur_ref, out_ref, ring0, ring1,
 
     def body(slab_m, slab_0):
         _select(nbr_ref, (slab_m, slab_0, cur_ref), g_scr,
-                nz=nz, cin=cin, z_up=False)
+                nz=nz, cin=cin, z_up=False, shift_taps=SHIFT_TAPS)
         w = w_ref[:].astype(jnp.bfloat16)
         for u in range(nz + 2):
             unf_scr[u] = jnp.dot(w, g_scr[u],
@@ -333,6 +365,9 @@ def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
         the lane dim (any float dtype; computed in bf16).
     nbr:   (ny_out, NBR_ROWS, B_out) int32 — rows 0..8 hold the RANK of
         the tap-j neighbor inside its source BEV row (>= B_in if absent).
+        CONTRACT (subm): nbr must come from build_rowpad_nbr — ranks are
+        x-sorted within a row, so tap 4 is the identity and taps 3/5 are
+        rank-adjacent; the kernel's shift-tap selection relies on it.
     w2:    weight_fwd / weight_bwd output.
     mode:  'subm' (source row y+dy), 'down' (BEV stride 2: source 2y+dy;
         pair with z_stride=2), 'up' (transposed strided conv for the
@@ -351,7 +386,9 @@ def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
         raise ValueError("z_stride=2 requires even nz")
     m_m, m_0, m_p = _row_maps(mode, ny_in)
     kern = partial(_conv_kernel, nz=nz, cin=cin, cout=cout,
-                   z_stride=z_stride, out_nz=out_nz, z_up=z_up)
+                   z_stride=z_stride, out_nz=out_nz, z_up=z_up,
+                   shift_taps=SHIFT_TAPS and mode == "subm"
+                   and b_in == b_out)
     return pl.pallas_call(
         kern,
         grid=(ny_out,),
@@ -398,7 +435,9 @@ def rowpad_conv_fused(table, nbr, w2, scale, bias, zmask, residual=None, *,
     n_epi = 4 if residual is not None else 3
     kern = partial(_conv_kernel, nz=nz, cin=cin, cout=cout,
                    z_stride=z_stride, out_nz=out_nz, z_up=False,
-                   n_epi=n_epi, relu=relu)
+                   n_epi=n_epi, relu=relu,
+                   shift_taps=SHIFT_TAPS and mode == "subm"
+                   and b_in == b_out)
     in_specs = [
         pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -450,7 +489,9 @@ def rowpad_conv_dw(table, nbr, d_out, *, nz, cin, cout, z_stride=1,
     out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
     m_m, m_0, m_p = _row_maps(mode, ny_in)
     kern = partial(_dw_kernel, nz=nz, cin=cin, cout=cout,
-                   z_stride=z_stride, out_nz=out_nz)
+                   z_stride=z_stride, out_nz=out_nz,
+                   shift_taps=SHIFT_TAPS and mode == "subm"
+                   and b_in == b_out)
     return pl.pallas_call(
         kern,
         grid=(ny_out,),
@@ -491,6 +532,22 @@ def _on_tpu():
         return False
 
 
+def resolve_use_pallas(use_pallas=None):
+    """Backend decision for the conv path, resolved at TRACE time.
+
+    Priority: explicit use_pallas arg > DETZERO_FORCE_PALLAS env ("1"
+    forces the pallas kernels even off-TPU — they run in interpret mode —
+    so CPU multichip dryruns exercise the real kernel code; "0" forces the
+    XLA reference — bench._flops_cpu uses this to cost-analyze the graph
+    on the cpu backend, where Mosaic kernels cannot lower) > platform."""
+    if use_pallas is not None:
+        return use_pallas
+    forced = _os.environ.get("DETZERO_FORCE_PALLAS")
+    if forced is not None:
+        return forced == "1"
+    return _on_tpu()
+
+
 def make_conv_op(*, nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
                  use_pallas=None, dtype=jnp.bfloat16):
     """Returns conv(table, weight, nbr, nbr_up) -> (ny_out, out_nz*cout, B)
@@ -503,7 +560,8 @@ def make_conv_op(*, nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
     it is its own transpose under the weight flip).  On non-TPU backends
     the XLA reference implements both passes (same math, gather-based)."""
     out_nz_ = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
-    pallas = _on_tpu() if use_pallas is None else use_pallas
+    pallas = resolve_use_pallas(use_pallas)
+    interp = not _on_tpu()  # pallas off-TPU (forced) runs in interpret mode
 
     @jax.custom_vjp
     def conv(table, weight, nbr, nbr_up):
@@ -513,10 +571,10 @@ def make_conv_op(*, nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
             if USE_SLIDING and mode == "subm" and z_stride == 1:
                 return rowpad_conv_sliding(
                     table, nbr, weight_fwd(weight, cin, cout),
-                    nz=nz, cin=cin, cout=cout)
+                    nz=nz, cin=cin, cout=cout, interpret=interp)
             return rowpad_conv(table, nbr, weight_fwd(weight, cin, cout),
                                nz=nz, cin=cin, cout=cout, z_stride=z_stride,
-                               out_nz=out_nz_, mode=mode)
+                               out_nz=out_nz_, mode=mode, interpret=interp)
         return rowpad_conv_reference(table, nbr, weight, nz=nz, cin=cin,
                                      cout=cout, z_stride=z_stride,
                                      out_nz=out_nz_, mode=mode, dtype=dtype)
@@ -533,11 +591,12 @@ def make_conv_op(*, nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
             wb = weight_bwd(weight, cin, cout)
             d_t = rowpad_conv(ct.astype(jnp.bfloat16), bwd_nbr, wb,
                               nz=nz, cin=cout, cout=cin,
-                              out_nz=nz, mode=bwd_mode)
+                              out_nz=nz, mode=bwd_mode, interpret=interp)
             dw = dw_to_spconv(
                 rowpad_conv_dw(table.astype(jnp.bfloat16), nbr, ct, nz=nz,
                                cin=cin, cout=cout, z_stride=z_stride,
-                               out_nz=out_nz_, mode=mode), cin, cout)
+                               out_nz=out_nz_, mode=mode,
+                               interpret=interp), cin, cout)
         else:
             # reference path: flip-weight conv for d_in, vjp for dW
             wflip = jnp.transpose(

@@ -17,15 +17,33 @@ NY, B, NZ, C = 8, 128, 8, 16
 
 @pytest.fixture()
 def data():
+    # a CONTRACT-VALID rowpad structure (random nbr ranks would violate the
+    # subm invariant the shift-tap selection relies on: within a row the
+    # dx=+-1 neighbor is always the adjacent rank — build_rowpad_nbr
+    # guarantees it, so the fixture must too)
+    from detzero_tpu.ops import pillars
+
     rng = np.random.RandomState(0)
-    x = rng.randn(NY, NZ * C, B).astype(np.float32)
-    nbr = rng.randint(0, B, (NY, ppk.NBR_ROWS, B)).astype(np.int32)
-    nbr[rng.rand(*nbr.shape) < 0.4] = B + 9
-    zmask = rng.rand(NY, NZ, B) < 0.7
-    x = np.where(zmask[:, :, None, :].repeat(C, 2).reshape(NY, NZ * C, B),
-                 x, 0.0)
-    res = np.where(zmask[:, :, None, :].repeat(C, 2).reshape(NY, NZ * C, B),
-                   rng.randn(NY, NZ * C, B), 0.0).astype(np.float32)
+    nx = 256
+    mp = 600
+    cells = np.sort(rng.choice(NY * nx, mp, replace=False)).astype(np.int32)
+    mask = np.ones(mp, bool)
+    coords2d = np.stack([cells // nx, cells % nx], 1).astype(np.int32)
+    slot, keep, rank_lut = pillars.rowpad_slots(
+        jnp.asarray(cells), jnp.asarray(mask), (NY, nx), B)
+    nbr = np.asarray(pillars.build_rowpad_nbr(
+        jnp.asarray(coords2d), jnp.asarray(mask), slot, keep, rank_lut,
+        (NY, nx), NY, B, B, mode="subm"))
+    zmask_c = rng.rand(mp, NZ) < 0.7
+    zmask = np.asarray(pillars.to_rowpad(
+        jnp.asarray(zmask_c.astype(np.int8)), slot, keep, NY, B)) > 0
+    z3 = zmask[:, :, None, :].repeat(C, 2).reshape(NY, NZ * C, B)
+    x_c = rng.randn(mp, NZ * C).astype(np.float32)
+    x = np.where(z3, np.asarray(pillars.to_rowpad(
+        jnp.asarray(x_c), slot, keep, NY, B)), 0.0).astype(np.float32)
+    res_c = rng.randn(mp, NZ * C).astype(np.float32)
+    res = np.where(z3, np.asarray(pillars.to_rowpad(
+        jnp.asarray(res_c), slot, keep, NY, B)), 0.0).astype(np.float32)
     return x, nbr, zmask, res
 
 

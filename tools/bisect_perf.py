@@ -512,6 +512,142 @@ def run_micro():
 
 
 # ---------------------------------------------------------------------------
+# Fused-graph gap attribution (VERDICT r3 weak #2: forward measured ~47 ms
+# above tables + backbone+head). Hypotheses tested:
+#   * plan-as-constant: the r3 backbone stage CLOSED OVER the plan, making
+#     it a jit constant — XLA hoists every plan-derived transform out of the
+#     scan; the fused forward pays them per iteration.  fg_net_arg passes
+#     the plan as a (carry-perturbed) argument instead.
+#   * cross-boundary fusion/layout: fg_forward_barrier keeps ONE jit but
+#     puts lax.optimization_barrier between the table build and the net.
+# ---------------------------------------------------------------------------
+
+
+def run_fusegap():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+
+    model, n_points = g._build_model(tiny=False)
+    b = int(os.environ.get("GRAFT_BATCH", "1"))
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-70, 70, (b, n_points, 5)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-1.5, 3.5, (b, n_points))
+    pv = np.ones((b, n_points), bool)
+    n_init = min(n_points, 4096)
+    variables = model.init(jax.random.PRNGKey(0), pts[:, :n_init],
+                           pv[:, :n_init])
+
+    only = os.environ.get("BISECT_ONLY")
+    only = set(only.split(",")) if only else None
+
+    def want(name):
+        return only is None or name in only
+
+    feats_key = ("feats" if model.backend.startswith("pillar")
+                 else "voxel_features")
+
+    def net_apply(feats, plan):
+        return model.eval_net.apply(
+            variables, feats, plan,
+            method=model._vmapped_call())[1]["spatial_features"]
+
+    table0, plan0 = jax.jit(model._tables)(jnp.asarray(pts), jnp.asarray(pv))
+    feats0 = table0[feats_key]
+    plan_leaves, plan_def = jax.tree.flatten(plan0)
+
+    if want("fg_tables"):
+        def touch(p, v):
+            table, plan = model._tables(p, v)
+            tot = table[feats_key].astype(jnp.float32).sum()
+            for leaf in jax.tree.leaves(plan):
+                tot = tot + leaf.astype(jnp.float32).sum()
+            return tot
+        time_stage("fg_tables", touch, (pts, pv), frames_per_iter=b)
+
+    if want("fg_net_const"):
+        # plan closed over (jit constant) — the r3 methodology
+        time_stage("fg_net_const", lambda f: net_apply(f, plan0), (feats0,),
+                   frames_per_iter=b, note="plan is a jit constant (r3 way)")
+
+    if want("fg_net_arg"):
+        # plan passed as perturbed args — what the fused forward pays
+        def napply(f, *leaves):
+            return net_apply(f, jax.tree.unflatten(plan_def, leaves))
+        time_stage("fg_net_arg", napply, (feats0, *plan_leaves),
+                   frames_per_iter=b,
+                   note="plan leaves are scan-carried args")
+
+    if want("fg_forward"):
+        time_stage("fg_forward",
+                   lambda p, v: model.apply(variables, p, v, train=False,
+                                            mutable_stats=False)[0][0]["hm"],
+                   (pts, pv), frames_per_iter=b)
+
+    if want("fg_forward_barrier"):
+        def fwd_barrier(p, v):
+            table, plan = model._tables(p, v)
+            feats, plan = jax.lax.optimization_barrier(
+                (table[feats_key], plan))
+            return net_apply(feats, plan)
+        time_stage("fg_forward_barrier", fwd_barrier, (pts, pv),
+                   frames_per_iter=b,
+                   note="one jit, optimization_barrier at the plan boundary")
+
+    # ---- table-build sub-attribution (the ~21 ms voxelize+plan item) ------
+    if model.backend.startswith("pillar"):
+        from detzero_tpu.models.detection.backbone3d_pallas import (
+            augment_plan_rowpad,
+        )
+        from detzero_tpu.models.detection.backbone3d_pillar import (
+            build_pillar_plan,
+        )
+        from detzero_tpu.ops.pillars import build_pillar_table
+
+        def touch_tree(t):
+            tot = jnp.float32(0)
+            for leaf in jax.tree.leaves(t):
+                tot = tot + leaf.astype(jnp.float32).sum()
+            return tot
+
+        def vox_one(p, v):
+            return jax.vmap(lambda pp, vv: build_pillar_table(
+                pp, vv, model.grid_zyx, model.voxel_size, model.pc_range,
+                model.pillar_capacities[0]))(p, v)
+
+        base_plan_fn = jax.vmap(lambda t: build_pillar_plan(
+            t, model.grid_zyx, model.pillar_capacities,
+            site_mode=model.site_mode, with_centroids=model.second_stage,
+            with_gather_maps=False))
+        table_c = jax.jit(vox_one)(jnp.asarray(pts), jnp.asarray(pv))
+        base_plan_c = jax.jit(base_plan_fn)(table_c)
+
+        if want("fg_vox_table"):
+            time_stage("fg_vox_table", lambda p, v: touch_tree(vox_one(p, v)),
+                       (pts, pv), frames_per_iter=b,
+                       note="build_pillar_table only (argsort + segsums)")
+        if want("fg_vox_baseplan"):
+            time_stage("fg_vox_baseplan",
+                       lambda *ls: touch_tree(base_plan_fn(
+                           jax.tree.unflatten(
+                               jax.tree.structure(table_c), ls))),
+                       tuple(jax.tree.leaves(table_c)), frames_per_iter=b,
+                       note="build_pillar_plan from prebuilt table")
+        if want("fg_vox_rowpad"):
+            pl_leaves, pl_def = jax.tree.flatten(base_plan_c)
+
+            def rp(*ls):
+                plan = jax.tree.unflatten(pl_def, ls)
+                return touch_tree(jax.vmap(
+                    lambda pp: augment_plan_rowpad(
+                        pp, model.grid_zyx, model.row_budget))(plan))
+            time_stage("fg_vox_rowpad", rp, tuple(pl_leaves),
+                       frames_per_iter=b,
+                       note="augment_plan_rowpad from prebuilt base plan")
+
+
+# ---------------------------------------------------------------------------
 # Prefix stages (cumulative pipeline)
 # ---------------------------------------------------------------------------
 
@@ -607,7 +743,8 @@ def main():
     print(json.dumps({"device": getattr(dev, "device_kind", dev.platform),
                       "groups": groups}), flush=True)
     for grp in groups:
-        {"micro": run_micro, "prefix": run_prefix}[grp]()
+        {"micro": run_micro, "prefix": run_prefix,
+         "fusegap": run_fusegap}[grp]()
     out = Path(__file__).resolve().parent.parent / "output" / "bisect_perf.json"
     out.parent.mkdir(exist_ok=True)
     existing = []
