@@ -259,6 +259,13 @@ def main():
     else:
         flops_xla = None
         flops_src = "analytic_estimate(xla_cpu_count_failed)"
+    if tiny:
+        # the analytic estimate is Waymo-scale; the tiny model is ~200x
+        # smaller — use the measured XLA count (conservative: it counts the
+        # materialized gathers too) so the mfu<=1 guard stays meaningful
+        flops_per_frame = flops_xla or FALLBACK_FLOPS_PER_FRAME / 200
+        flops_src = "xla_cost_analysis_cpu(tiny)" if flops_xla else \
+            "analytic_estimate/200(tiny)"
 
     # ---- primary: serial scan (device throughput; overlap-proof) ----------
     # scan >= 16 at full scale: the per-CALL tunnel overhead (~40 ms) divided

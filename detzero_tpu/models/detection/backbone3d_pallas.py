@@ -44,42 +44,72 @@ import os as _os
 USE_FUSED_EVAL = _os.environ.get("DETZERO_FUSED_EVAL", "1") == "1"
 
 
-def augment_plan_rowpad(plan, grid_zyx, row_budget: int = 128):
+def augment_plan_rowpad(plan, grid_zyx, row_budget: int = 128,
+                        use_pallas=None):
     """Extend a build_pillar_plan() plan with the row-padded structures the
     fused convs need.  Adds to level lvl: rp_slot, rp_keep, rp_zmask
     (ny, nz, B), rp_nbr (ny, 16, B); and for lvl < 3: rp_down_nbr (at the
     output grid) and rp_up_nbr (this grid, transpose of the strided conv).
-    Returns a NEW list of level dicts (arrays only, vmap-safe)."""
+    Returns a NEW list of level dicts (arrays only, vmap-safe).
+
+    On the Pallas path the 10 neighbor maps come from ops/pallas_pillar.
+    rowpad_nbr (row-local rank-by-count over gathered x-coords) instead
+    of build_rowpad_nbr's 16-wide scatters + rank_lut gathers — the XLA
+    build measured 48.8 ms/frame of the 106 ms forward on v5e
+    (tools/bisect_perf.py fg_vox_rowpad).  Bit-identical outputs
+    (tests/test_pallas_pillar.py::test_rowpad_nbr_parity).  All rowpad
+    structures here are GATHERS through rowpad_layout's gidx map; the
+    only scatter left per level is its counts histogram."""
     grids = plan_grids(grid_zyx)
     b = row_budget
+    pallas_nbr = ppk.resolve_use_pallas(use_pallas)
+    interp = not ppk._on_tpu()
     out = [dict(entry) for entry in plan[:4]] + [dict(plan[4])]
     level_aux = []
     for lvl in range(4):
         nz, ny, nx = grids[lvl]
         e = out[lvl]
-        slot, keep, rank_lut = pillars.rowpad_slots(
-            e["cells"], e["mask"], (ny, nx), b)
+        lay = pillars.rowpad_layout(
+            e["cells"], e["mask"], (ny, nx), b,
+            with_rank_lut=not pallas_nbr)
+        slot, keep = lay["slot"], lay["keep"]
+        gidx, gvalid = lay["gidx"], lay["gvalid"]
         e["rp_slot"], e["rp_keep"] = slot, keep
-        # to_rowpad maps (MP, nz) -> (ny, nz, B) directly
-        e["rp_zmask"] = pillars.to_rowpad(
-            e["zmask"].astype(jnp.int8), slot, keep, ny, b) > 0
-        e["rp_nbr"] = pillars.build_rowpad_nbr(
-            e["coords2d"], e["mask"], slot, keep, rank_lut, (ny, nx),
-            ny, b, b, mode="subm")
-        level_aux.append((slot, keep, rank_lut, (nz, ny, nx)))
+        e["rp_gidx"], e["rp_gvalid"] = gidx, gvalid
+        e["rp_zmask"] = pillars.rowpad_gather(
+            e["zmask"].astype(jnp.int8), gidx, gvalid, slot, keep) > 0
+        if pallas_nbr:
+            xq = pillars.rowpad_xcoords(
+                e["coords2d"][:, 1], gidx, gvalid, ppk.NBR_BIG)
+            e["rp_nbr"] = ppk.rowpad_nbr(xq, xq, mode="subm",
+                                         interpret=interp)
+            level_aux.append((slot, keep, xq, (nz, ny, nx)))
+        else:
+            e["rp_nbr"] = pillars.build_rowpad_nbr(
+                e["coords2d"], e["mask"], slot, keep, lay["rank_lut"],
+                (ny, nx), ny, b, b, mode="subm")
+            level_aux.append((slot, keep, lay["rank_lut"], (nz, ny, nx)))
     for lvl in range(3):
         nz, ny, nx = level_aux[lvl][3]
         onz, ony, onx = level_aux[lvl + 1][3]
-        slot_i, keep_i, lut_i, _ = level_aux[lvl]
-        slot_o, keep_o, lut_o, _ = level_aux[lvl + 1]
+        slot_i, keep_i, aux_i, _ = level_aux[lvl]
+        slot_o, keep_o, aux_o, _ = level_aux[lvl + 1]
         e_o = out[lvl + 1]
+        if pallas_nbr:
+            # forward strided conv: output slots match input cells 2y+dy;
+            # transpose: input slots match output cells (y+dy)//2
+            out[lvl]["rp_down_nbr"] = ppk.rowpad_nbr(
+                aux_o, aux_i, mode="down", interpret=interp)
+            out[lvl]["rp_up_nbr"] = ppk.rowpad_nbr(
+                aux_i, aux_o, mode="up", interpret=interp)
+            continue
         # forward strided conv: output slots gather input cells 2y+dy
         out[lvl]["rp_down_nbr"] = pillars.build_rowpad_nbr(
-            e_o["coords2d"], e_o["mask"], slot_o, keep_o, lut_i, (ny, nx),
+            e_o["coords2d"], e_o["mask"], slot_o, keep_o, aux_i, (ny, nx),
             ony, b, b, mode="down")
         # transpose: input slots gather output cells (y+dy)//2
         out[lvl]["rp_up_nbr"] = pillars.build_rowpad_nbr(
-            out[lvl]["coords2d"], out[lvl]["mask"], slot_i, keep_i, lut_o,
+            out[lvl]["coords2d"], out[lvl]["mask"], slot_i, keep_i, aux_o,
             (ony, onx), ny, b, b, mode="up")
     return out
 
@@ -222,10 +252,12 @@ class PallasResBackbone8x(nn.Module):
         lvl0 = plan[0]
         nz0, ny0, _ = grids[0]
         mp, _, f_in = pillar_feats.shape
-        # compact -> row-padded transposed
-        x = pillars.to_rowpad(
+        # compact -> row-padded transposed (gather both ways, see
+        # pillars.rowpad_gather)
+        x = pillars.rowpad_gather(
             pillar_feats.reshape(mp, -1).astype(self.dtype),
-            lvl0["rp_slot"], lvl0["rp_keep"], ny0, b)
+            lvl0["rp_gidx"], lvl0["rp_gvalid"],
+            lvl0["rp_slot"], lvl0["rp_keep"])
         x = SparseConvBNReLU(self.channels[0], 27, **kw)(
             x, lvl0["rp_zmask"], lvl0["rp_nbr"], nz=nz0)
         multi_scale = {}
@@ -275,8 +307,10 @@ class PallasResBackbone8x(nn.Module):
 
 
 def _compact_feats(x_rp, entry, mp, nz, c):
-    """(ny, nz*C, B) row-padded -> compact (MP, nz, C)."""
-    return pillars.from_rowpad(
-        x_rp, entry["rp_slot"], entry["rp_keep"]).reshape(mp, nz, c)
+    """(ny, nz*C, B) row-padded -> compact (MP, nz, C).  Gather-only in
+    both directions (the plain slot-gather autodiffs to a scatter-add)."""
+    return pillars.from_rowpad_g(
+        x_rp, entry["rp_slot"], entry["rp_keep"],
+        entry["rp_gidx"], entry["rp_gvalid"]).reshape(mp, nz, c)
 
 

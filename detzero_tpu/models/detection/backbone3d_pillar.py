@@ -60,7 +60,8 @@ def build_pillar_plan(table, grid_zyx, capacities: Sequence[int],
         if lvl < 3:
             onz, ony, onx = grids[lvl + 1]
             nxt = pillars.downsample_pillars(
-                cur, (ny, nx), nz, capacities[lvl + 1], site_mode=site_mode)
+                cur, (ny, nx), nz, capacities[lvl + 1], site_mode=site_mode,
+                in_lut=lut)
             out_lut = pillars.build_row_lut(nxt["cells"], nxt["mask"],
                                             (ony, onx))
             if with_gather_maps:

@@ -128,6 +128,9 @@ def _select(nbr_ref, slabs, g_scr, *, nz, cin, z_up, shift_taps=False):
             g_scr[1:nz + 1, j * cin:(j + 1) * cin, :] = (
                 gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
             continue
+        # NOTE (r4): a lane-dim jnp.take_along_axis would make this selection
+        # FLOP-free, but Mosaic on this toolchain fails to lower it (remote
+        # compile: INTERNAL tpu_compile_helper exit 1) — probed 2026-08-18.
         oh = (nbr_ref[j:j + 1, :] == iota).astype(jnp.bfloat16)
         # Mosaic requires a 32-bit matmul accumulator; one-hot rows have at
         # most one term, so the f32->bf16 round-trip is exact
@@ -331,6 +334,106 @@ def rowpad_conv_sliding(table, nbr, w2, *, nz, cin, cout, interpret=False):
         ],
         interpret=interpret,
     )(nbr, w2.astype(jnp.bfloat16), table.astype(jnp.bfloat16))
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-map kernel (r4): builds the rowpad nbr tensors row-locally
+# ---------------------------------------------------------------------------
+
+# sentinel for "no pillar in this rowpad slot" in the x-coordinate tables;
+# small enough that 2*BIG+1 (the mode='down' query transform) stays in i32
+NBR_BIG = 1 << 28
+
+
+def _nbr_kernel(xq_ref, xtm_ref, xt0_ref, xtp_ref, out_ref, *,
+                mode, ny_in, b_in):
+    """One output BEV row of nbr ranks.  The XLA build (ops/pillars.
+    build_rowpad_nbr) is scatter-bound: its 16-wide _nbr_scatter costs
+    ~90 ns/row on TPU and the 10 calls per plan cost ~49 ms/frame (measured,
+    BISECT fg_vox_rowpad).  Here the rank of neighbor x' inside its target
+    row is just the count of smaller x-coords — row-local VPU compares on
+    VMEM-resident (B_in, B_out) tiles, no scatter, no rank LUT, no gathers.
+
+    xq_ref (1, B_out): query x-coords in the OUTPUT rowpad layout (NBR_BIG =
+    empty slot).  xt*_ref (B_in, 1): target-row x-coords (targets in
+    sublanes), the dy = -1/0/+1 halo rows of the INPUT level."""
+    i = pl.program_id(0)
+    xq = xq_ref[:]                       # (1, B_out)
+    qvalid = xq < NBR_BIG
+    slabs = (xtm_ref, xt0_ref, xtp_ref)
+    rows = []
+    for j in range(9):
+        dy, dx = j // 3 - 1, j % 3 - 1
+        xt = slabs[dy + 1][:]            # (B_in, 1)
+        pok = None
+        if mode == "subm":
+            xp = xq + dx
+            src = i + dy
+            rv = (src >= 0) & (src < ny_in)
+        elif mode == "down":
+            xp = 2 * xq + dx
+            src = 2 * i + dy
+            rv = (src >= 0) & (src < ny_in)
+        else:                            # 'up': x' = (x+dx)/2 when even
+            num = xq + dx + 2            # >= 1, so trunc div == floor div
+            xp = num // 2 - 1
+            pok = (num % 2) == 0
+            src = i + dy
+            rv = (src >= 0) & (src % 2 == 0) & (src // 2 < ny_in)
+        lt = (xt < xp).astype(jnp.int32)            # (B_in, B_out)
+        rank = jnp.sum(lt, axis=0, keepdims=True)
+        eq = (xt == xp).astype(jnp.int32)
+        fnd = (jnp.sum(eq, axis=0, keepdims=True) > 0) & qvalid
+        if pok is not None:
+            fnd = fnd & pok
+        fnd = fnd & rv
+        rows.append(jnp.where(fnd, rank, b_in))
+    pad = jnp.full((NBR_ROWS - 9, xq.shape[1]), b_in, jnp.int32)
+    out_ref[:] = jnp.concatenate(rows + [pad], axis=0)
+
+
+@partial(jax.jit, static_argnames=("mode", "interpret"))
+def rowpad_nbr(xq_rp, x_in, *, mode="subm", interpret=False):
+    """Build a (ny_out, NBR_ROWS, B_out) neighbor-rank tensor for
+    rowpad_conv from per-row sorted x-coordinates.
+
+    xq_rp: (ny_out, B_out) int32 — x-coord of each OUTPUT pillar in its
+        rowpad slot, NBR_BIG where the slot is empty.
+    x_in:  (ny_in, B_in) int32 — the INPUT level's x-coords (same NBR_BIG
+        fill; 'up': the conv's OUTPUT level, which the gradient gathers
+        from).
+    mode: as rowpad_conv ('subm'/'down'/'up').
+
+    Bit-identical to ops/pillars.build_rowpad_nbr (tests/test_pallas_pillar
+    pins it) because rank == count of strictly-smaller x-coords in the
+    target row — cells within a row are unique and x-sorted.
+
+    Layout note: queries ride lanes ((ny_out, 1, B) blocks), targets ride
+    sublanes ((ny_in, B, 1) blocks) so the 9 halo compares broadcast to
+    (B_in, B_out) and reduce over sublanes — Mosaic only accepts (8,128)-
+    divisible or full-dim blocks, hence the unit axes."""
+    ny_out, b_out = xq_rp.shape
+    ny_in, b_in = x_in.shape
+    m_m, m_0, m_p = _row_maps(mode, ny_in)
+    xq3 = xq_rp[:, None, :]
+    xt3 = x_in[:, :, None]
+
+    kern = partial(_nbr_kernel, mode=mode, ny_in=ny_in, b_in=b_in)
+    return pl.pallas_call(
+        kern,
+        grid=(ny_out,),
+        in_specs=[
+            pl.BlockSpec((None, 1, b_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, b_in, 1), m_m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, b_in, 1), m_0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, b_in, 1), m_p, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny_out, NBR_ROWS, b_out), jnp.int32),
+        interpret=interpret,
+    )(xq3, xt3, xt3, xt3)
 
 
 # ---------------------------------------------------------------------------

@@ -227,7 +227,7 @@ def _unique_capped_cells(cand, capacity):
 
 
 def downsample_pillars(table, in_bev_hw, in_nz, out_capacity,
-                       site_mode: str = "principal"):
+                       site_mode: str = "principal", in_lut=None):
     """Derive the stride-(2,2,2) output pillar set + z occupancy.
 
     site_mode "principal": out voxel (zo,yo,xo) occupied iff an occupied
@@ -262,7 +262,8 @@ def downsample_pillars(table, in_bev_hw, in_nz, out_capacity,
         jnp.stack([out_cells // onx, out_cells % onx], 1), 0).astype(jnp.int32)
 
     # output z occupancy from child/window zmasks
-    in_lut = build_row_lut(cells, mask, in_bev_hw)
+    if in_lut is None:
+        in_lut = build_row_lut(cells, mask, in_bev_hw)
     pad = in_nz + (-in_nz) % 2
     zm = jnp.pad(zmask, ((0, 0), (0, pad - in_nz)))
     if site_mode == "principal":
@@ -456,12 +457,21 @@ def voxel_query_pillar(query_coords_zyx, lut, zmask_flat, nz: int, bev_hw,
 # Row-padded transposed layout (the fused Pallas conv path, ops/pallas_pillar)
 # ---------------------------------------------------------------------------
 
-def rowpad_slots(cells, mask, bev_hw, row_budget):
-    """Per-pillar slot in the row-padded layout: BEV row y owns slots
-    [y*B, (y+1)*B), rank = position within the row (cells are sorted, so
-    same-row pillars are consecutive).  Returns (slot, keep, rank_lut):
-    slot (MP,) int32 (== ny*B for dropped/invalid), keep (MP,) bool
-    (mask & rank < B), rank_lut (ny*nx,) int32 rank+1 (0 = empty)."""
+def rowpad_layout(cells, mask, bev_hw, row_budget, with_rank_lut=False):
+    """BOTH sides of the row-padded mapping from one counts-scatter +
+    cumsum.  BEV row y owns slots [y*B, (y+1)*B); rank = position within
+    the row (cells are sorted, so same-row pillars are consecutive, which
+    also means slot (y, r) <-> compact row row_start[y] + r is a pure
+    GATHER — no scatter is needed to enter the rowpad layout).
+
+    Returns dict:
+        slot   (MP,)   int32  compact -> rowpad (ny*B for dropped/invalid)
+        keep   (MP,)   bool   mask & rank < B
+        gidx   (ny, B) int32  rowpad slot -> compact row (clipped)
+        gvalid (ny, B) bool   slot occupancy
+        [rank_lut (ny*nx,) int32 rank+1, 0 = empty — only the XLA
+         build_rowpad_nbr consumes it]
+    """
     ny, nx = bev_hw
     b = row_budget
     mp = cells.shape[0]
@@ -471,10 +481,60 @@ def rowpad_slots(cells, mask, bev_hw, row_budget):
     rank = jnp.arange(mp, dtype=jnp.int32) - row_start[y]
     keep = mask & (rank < b)
     slot = jnp.where(keep, y * b + rank, ny * b)
-    safe_cells = jnp.where(keep, cells, ny * nx)
-    rank_lut = jnp.zeros(ny * nx + 1, jnp.int32).at[safe_cells].max(
-        (rank + 1) * keep, unique_indices=True)[:-1]
-    return slot.astype(jnp.int32), keep, rank_lut
+    gidx = jnp.clip(row_start[:, None] + jnp.arange(b, dtype=jnp.int32),
+                    0, max(mp - 1, 0))
+    gvalid = jnp.arange(b, dtype=jnp.int32)[None, :] < jnp.minimum(
+        counts, b)[:, None]
+    out = {"slot": slot.astype(jnp.int32), "keep": keep,
+           "gidx": gidx.astype(jnp.int32), "gvalid": gvalid}
+    if with_rank_lut:
+        safe_cells = jnp.where(keep, cells, ny * nx)
+        out["rank_lut"] = jnp.zeros(ny * nx + 1, jnp.int32).at[
+            safe_cells].max((rank + 1) * keep, unique_indices=True)[:-1]
+    return out
+
+
+def rowpad_slots(cells, mask, bev_hw, row_budget, with_rank_lut=True):
+    """Compat wrapper over rowpad_layout: (slot, keep, rank_lut)."""
+    lay = rowpad_layout(cells, mask, bev_hw, row_budget,
+                        with_rank_lut=with_rank_lut)
+    return lay["slot"], lay["keep"], lay.get("rank_lut")
+
+
+def rowpad_xcoords(xcoord, gidx, gvalid, big):
+    """Per-slot x-coordinate table (ny, B) int32 for the Pallas
+    neighbor-map kernel (ops/pallas_pillar.rowpad_nbr): slot -> its
+    pillar's x, `big` where the slot is empty.  Pure gather through the
+    rowpad_layout gidx map — zero scatters."""
+    return jnp.where(gvalid, xcoord.astype(jnp.int32)[gidx], big)
+
+
+@jax.custom_vjp
+def rowpad_gather(values, gidx, gvalid, slot, keep):
+    """Compact per-pillar rows (MP, D) -> transposed row-padded (ny, D, B)
+    by GATHER (bit-identical to to_rowpad, which scatters the same
+    bijection — XLA scatter costs ~90 ns/row on TPU, the gather ~4.5 ns).
+    The custom VJP is also a gather (from_rowpad through slot/keep), so
+    neither direction of the rowpad boundary touches a scatter."""
+    return _rowpad_gather_impl(values, gidx, gvalid)
+
+
+def _rowpad_gather_impl(values, gidx, gvalid):
+    got = values[gidx]                      # (ny, B, D)
+    got = jnp.where(gvalid[..., None], got, 0)
+    return jnp.transpose(got, (0, 2, 1))
+
+
+def _rowpad_gather_fwd(values, gidx, gvalid, slot, keep):
+    return _rowpad_gather_impl(values, gidx, gvalid), (slot, keep)
+
+
+def _rowpad_gather_bwd(res, g):
+    slot, keep = res
+    return from_rowpad(g, slot, keep), None, None, None, None
+
+
+rowpad_gather.defvjp(_rowpad_gather_fwd, _rowpad_gather_bwd)
 
 
 def to_rowpad(values, slot, keep, ny, row_budget):
@@ -493,6 +553,27 @@ def from_rowpad(rp, slot, keep, fill=0.0):
     flat = jnp.transpose(rp, (0, 2, 1)).reshape(ny * b, d)
     got = flat[jnp.minimum(slot, ny * b - 1)]
     return jnp.where(keep[:, None], got, fill)
+
+
+@jax.custom_vjp
+def from_rowpad_g(rp, slot, keep, gidx, gvalid):
+    """from_rowpad with a gather-only VJP: plain autodiff of the slot
+    gather emits a scatter-add of the cotangent; the rowpad mapping is a
+    bijection, so the cotangent is just rowpad_gather of the compact
+    gradient (gidx/gvalid from rowpad_layout)."""
+    return from_rowpad(rp, slot, keep)
+
+
+def _from_rowpad_g_fwd(rp, slot, keep, gidx, gvalid):
+    return from_rowpad(rp, slot, keep), (gidx, gvalid)
+
+
+def _from_rowpad_g_bwd(res, g):
+    gidx, gvalid = res
+    return _rowpad_gather_impl(g, gidx, gvalid), None, None, None, None
+
+
+from_rowpad_g.defvjp(_from_rowpad_g_fwd, _from_rowpad_g_bwd)
 
 
 def _nbr_scatter(vals, slot, keep, ny_out, b_out, b_in, nbr_rows):

@@ -186,3 +186,91 @@ def test_sliding_matches_halo(geom):
                                jnp.asarray(geom["nbr"]), w2,
                                nz=NZ, cin=CIN, cout=COUT, interpret=True)
     assert np.abs(np.float32(base) - np.float32(slid)).max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# rowpad_nbr: the Pallas neighbor-map build vs the XLA build_rowpad_nbr
+# ---------------------------------------------------------------------------
+
+
+def test_rowpad_nbr_parity():
+    """All 10 neighbor maps of a real plan, bit-identical between the
+    scatter-based XLA build and the row-local Pallas kernel (interpret)."""
+    from detzero_tpu.models.detection.backbone3d_pallas import (
+        augment_plan_rowpad,
+    )
+    from detzero_tpu.models.detection.backbone3d_pillar import (
+        build_pillar_plan,
+    )
+    from detzero_tpu.ops import pillars
+
+    rng = np.random.RandomState(3)
+    grid = (8, 64, 64)
+    pts = rng.uniform(-6.4, 6.4, (2048, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2, 2, 2048)
+    valid = rng.rand(2048) < 0.9
+    table = pillars.build_pillar_table(
+        jnp.asarray(pts), jnp.asarray(valid), grid, (0.2, 0.2, 0.5),
+        (-6.4, -6.4, -2.0, 6.4, 6.4, 2.0), 512)
+    plan = build_pillar_plan(table, grid, (512, 256, 128, 64),
+                             with_centroids=False, with_gather_maps=False)
+    # row_budget 8 << row occupancy so the drop-overflow branch is hit too
+    for b in (8, 128):
+        ref = augment_plan_rowpad(plan, grid, b, use_pallas=False)
+        new = augment_plan_rowpad(plan, grid, b, use_pallas=True)
+        for lvl in range(4):
+            for key in ("rp_nbr", "rp_down_nbr", "rp_up_nbr"):
+                if key not in ref[lvl]:
+                    continue
+                r = np.asarray(ref[lvl][key])
+                n = np.asarray(new[lvl][key])
+                # absent taps: XLA writes b_in, the kernel b_in too; any
+                # value >= b_in is "absent" for the conv — normalize
+                r = np.minimum(r, b)
+                n = np.minimum(n, b)
+                assert (r == n).all(), (lvl, key, b,
+                                        np.argwhere(r != n)[:5])
+        for lvl in range(4):
+            assert (np.asarray(ref[lvl]["rp_slot"])
+                    == np.asarray(new[lvl]["rp_slot"])).all()
+
+
+def test_rowpad_gather_parity():
+    """rowpad_gather (gather both ways) is bit-identical to the scatter
+    to_rowpad, including the custom-VJP cotangents and from_rowpad_g."""
+    from detzero_tpu.ops import pillars
+
+    rng = np.random.RandomState(1)
+    ny, nx, b, mp, d = 16, 50, 8, 200, 12
+    cells = np.sort(rng.choice(ny * nx, mp, replace=False)).astype(np.int32)
+    mask = np.arange(mp) < 150
+    cells = np.where(mask, cells, np.iinfo(np.int32).max)
+    vals = jnp.asarray(rng.randn(mp, d).astype(np.float32))
+
+    lay = pillars.rowpad_layout(jnp.asarray(cells), jnp.asarray(mask),
+                                (ny, nx), b)
+    old = pillars.to_rowpad(vals, lay["slot"], lay["keep"], ny, b)
+    new = pillars.rowpad_gather(vals, lay["gidx"], lay["gvalid"],
+                                lay["slot"], lay["keep"])
+    assert np.array_equal(np.asarray(old), np.asarray(new))
+
+    co = jnp.asarray(rng.randn(*old.shape).astype(np.float32))
+    g_old = jax.grad(lambda v: jnp.vdot(
+        pillars.to_rowpad(v, lay["slot"], lay["keep"], ny, b), co))(vals)
+    g_new = jax.grad(lambda v: jnp.vdot(
+        pillars.rowpad_gather(v, lay["gidx"], lay["gvalid"], lay["slot"],
+                              lay["keep"]), co))(vals)
+    assert np.allclose(np.asarray(g_old), np.asarray(g_new))
+
+    rp = jnp.asarray(rng.randn(ny, d, b).astype(np.float32))
+    cc = jnp.asarray(rng.randn(mp, d).astype(np.float32))
+    f1 = pillars.from_rowpad(rp, lay["slot"], lay["keep"])
+    f2 = pillars.from_rowpad_g(rp, lay["slot"], lay["keep"],
+                               lay["gidx"], lay["gvalid"])
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+    g1 = jax.grad(lambda r: jnp.vdot(
+        pillars.from_rowpad(r, lay["slot"], lay["keep"]), cc))(rp)
+    g2 = jax.grad(lambda r: jnp.vdot(
+        pillars.from_rowpad_g(r, lay["slot"], lay["keep"], lay["gidx"],
+                              lay["gvalid"]), cc))(rp)
+    assert np.allclose(np.asarray(g1), np.asarray(g2))

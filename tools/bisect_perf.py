@@ -463,6 +463,106 @@ def run_micro():
                    lambda l, qq: l[qq], (lut_np2, q),
                    note="pillar neighbor lookup, per level")
 
+    # -- plan-build primitive costs (r4: the fused forward spends ~68 ms on
+    # the table/plan build — these decide a sort-free redesign) -------------
+    if want("argsort160k"):
+        keys = rng.randint(0, 90_000_000, P_FULL).astype(np.int32)
+        time_stage("argsort_160k_i32", lambda k: jnp.argsort(k), (keys,),
+                   note="the voxelizer's one argsort")
+        time_stage("sort_160k_i32_unstable",
+                   lambda k: jax.lax.sort((k,), is_stable=False)[0], (keys,),
+                   note="keys only, unstable")
+        time_stage("sortkv_160k_i32",
+                   lambda k: jax.lax.sort(
+                       (k, jnp.arange(P_FULL, dtype=jnp.int32)),
+                       is_stable=False, num_keys=1)[1], (keys,),
+                   note="key+payload, unstable (argsort equivalent)")
+    if want("sort120k"):
+        keys = rng.randint(0, 600_000, 120_000).astype(np.int32)
+        time_stage("sort_120k_i32", lambda k: jnp.sort(k), (keys,),
+                   note="downsample_pillars' unique-capped sort, per level")
+    if want("cumsum_dense"):
+        occ = (rng.rand(2_262_016) < 0.05).astype(np.int32)
+        time_stage("cumsum_2.26M_i32", lambda o: jnp.cumsum(o), (occ,),
+                   note="dense occupancy -> rank (compaction without sort)")
+    if want("scatter_dups"):
+        cell = rng.randint(0, 2_262_016, P_FULL).astype(np.int32)
+        ones = np.ones(P_FULL, np.int32)
+        time_stage("scatter_max_dups_160k_into_2.26M",
+                   lambda c, o: jnp.zeros(2_262_016, jnp.int32).at[c].max(o),
+                   (cell, ones), note="occupancy bitmap build, dup indices")
+        yrow = rng.randint(0, 1504, P_FULL).astype(np.int32)
+        time_stage("scatter_add_dups_160k_into_1504",
+                   lambda c, o: jnp.zeros(1504, jnp.int32).at[c].add(o),
+                   (yrow, ones), note="per-row pillar counts, dup indices")
+        slot = rng.randint(0, 120_000 * NZ_, P_FULL).astype(np.int32)
+        vals = rng.randn(P_FULL, 8).astype(np.float32)
+        time_stage("scatter_add_dups_160kx8_into_4.8M",
+                   lambda s, v: jnp.zeros((120_000 * NZ_, 8),
+                                          jnp.float32).at[s].add(v),
+                   (slot, vals), note="sort-free voxel feature accumulation")
+
+    if want("segsum_sorted"):
+        # build_pillar_table's actual pattern: segment_sum over a SORTED
+        # slot stream (indices_are_sorted=True) — does XLA lower it better
+        # than the random-index scatter micro?
+        slot_s = np.sort(rng.randint(0, 120_000 * NZ_, P_FULL)
+                         ).astype(np.int32)
+        vals5 = rng.randn(P_FULL, 5).astype(np.float32)
+        time_stage("segsum_sorted_160kx5_into_4.8M",
+                   lambda s, v: jax.ops.segment_sum(
+                       v, s, num_segments=120_000 * NZ_,
+                       indices_are_sorted=True),
+                   (slot_s, vals5), note="the feats accumulation")
+        time_stage("segsum_sorted_160kx1_into_4.8M",
+                   lambda s, v: jax.ops.segment_sum(
+                       v[:, 0], s, num_segments=120_000 * NZ_,
+                       indices_are_sorted=True),
+                   (slot_s, vals5), note="the counts accumulation")
+        seg_p = np.sort(rng.randint(0, 120_000, P_FULL)).astype(np.int32)
+        time_stage("segmin_sorted_160k_into_120k",
+                   lambda s, v: jax.ops.segment_min(
+                       v, s, num_segments=120_000, indices_are_sorted=True),
+                   (seg_p, np.abs(rng.randint(0, 2_262_016, P_FULL)
+                                  ).astype(np.int32)),
+                   note="the cells segment_min")
+    if want("scatter_unique"):
+        # unique-index scatter-SET costs (the alternative to dup scatter-add
+        # for the dense voxel table: sorted stream -> compact segment sums
+        # via cumsum-diff, then ONE unique set into the dense table)
+        slot_u = np.sort(rng.choice(120_000 * NZ_, 100_000, replace=False)
+                         ).astype(np.int32)
+        vals8 = rng.randn(100_000, 8).astype(np.float32)
+        time_stage("scatter_set_unique_100kx8_into_4.8M",
+                   lambda s, v: jnp.zeros((120_000 * NZ_, 8), jnp.float32)
+                   .at[s].set(v, unique_indices=True),
+                   (slot_u, vals8), note="dense voxel table via unique set")
+        time_stage("scatter_add_unique_100kx8_into_4.8M",
+                   lambda s, v: jnp.zeros((120_000 * NZ_, 8), jnp.float32)
+                   .at[s].add(v, unique_indices=True),
+                   (slot_u, vals8), note="same but add")
+        big = rng.randn(120_000 * NZ_, 8).astype(np.float32)
+        gidx = rng.randint(0, 100_000, 120_000 * NZ_).astype(np.int32)
+        time_stage("gather_4.8Mx8_from_100k",
+                   lambda g, i: g[:100_000][i], (big, gidx),
+                   note="dense voxel table via gather of compact sums")
+    if want("cumsum_comp"):
+        vals = rng.randn(P_FULL, 8).astype(np.float32)
+        time_stage("cumsum_160kx8_f32", lambda v: jnp.cumsum(v, axis=0),
+                   (vals,), note="plain prefix sums, 8 columns")
+
+        def comp(v):
+            def combine(a, b):
+                s = a[0] + b[0]
+                z = s - a[0]
+                err = (a[0] - (s - z)) + (b[0] - z)
+                return s, a[1] + b[1] + err
+            s, e = jax.lax.associative_scan(combine, (v, jnp.zeros_like(v)),
+                                            axis=0)
+            return s + e
+        time_stage("cumsum_comp_160kx8_f32", comp, (vals,),
+                   note="TwoSum-compensated prefix sums (exact-ish means)")
+
     # -- unique / downsample -------------------------------------------------
     if want("unique"):
         time_stage("unique_capped_120k",
