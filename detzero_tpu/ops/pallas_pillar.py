@@ -146,15 +146,15 @@ def _select(nbr_ref, slabs, g_scr, *, nz, cin, z_up, shift_taps=False):
             gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
 
 
-def _epilogue(acc3, out_ref, epi_refs, *, out_nz, cout, relu):
-    """acc3 (out_nz, cout, B) f32 -> out_ref, optionally through the fused
-    eval-mode epilogue: y = relu(acc * scale + bias [+ residual]) * zmask.
-    epi_refs: (sc_ref (1, cout), bi_ref (1, cout), zm_ref (out_nz, B),
-    res_ref (out_nz*cout, B) or None)."""
-    b_out = out_ref.shape[1]
+def _epilogue_val(acc3, epi_refs, *, out_nz, cout, relu, dtype):
+    """acc3 (out_nz, cout, B) f32 -> (out_nz*cout, B) `dtype`, optionally
+    through the fused eval-mode epilogue:
+    y = relu(acc * scale + bias [+ residual]) * zmask.
+    epi_refs: (sc (1, cout), bi (1, cout), zm (out_nz, B),
+    res (out_nz*cout, B) or None) — refs or arrays."""
+    b_out = acc3.shape[-1]
     if epi_refs is None:
-        out_ref[:] = acc3.reshape(out_nz * cout, b_out).astype(out_ref.dtype)
-        return
+        return acc3.reshape(out_nz * cout, b_out).astype(dtype)
     sc_ref, bi_ref, zm_ref, res_ref = epi_refs
     sc = sc_ref[:].reshape(1, cout, 1)
     bi = bi_ref[:].reshape(1, cout, 1)
@@ -165,81 +165,168 @@ def _epilogue(acc3, out_ref, epi_refs, *, out_nz, cout, relu):
         y = jnp.maximum(y, 0.0)
     zm = zm_ref[:].reshape(out_nz, 1, b_out).astype(jnp.float32)
     y = y * zm
-    out_ref[:] = y.reshape(out_nz * cout, b_out).astype(out_ref.dtype)
+    return y.reshape(out_nz * cout, b_out).astype(dtype)
+
+
+def _epilogue(acc3, out_ref, epi_refs, *, out_nz, cout, relu):
+    out_ref[:] = _epilogue_val(acc3, epi_refs, out_nz=out_nz, cout=cout,
+                               relu=relu, dtype=out_ref.dtype)
+
+
+def _slab_index(mode, r, dy, rows):
+    """Static index of the (local-row r, BEV offset dy) source row in the
+    per-step slab list (see _table_specs: slab k holds input row
+    base(i) + k, clamped; clamped slabs are only touched by taps that nbr
+    marks absent)."""
+    if mode == "subm":
+        return r + dy + 1
+    if mode == "down":
+        return 2 * r + dy + 1
+    if rows == 1:
+        # 'up' rows==1 keeps the legacy three per-dy maps: the blocked
+        # formula below needs the global row parity static (R*i even)
+        return dy + 1
+    return (r + dy) // 2 + 1
+
+
+def _n_slabs(mode, rows):
+    if mode == "up" and rows == 1:
+        return 3
+    return {"subm": rows + 2, "down": 2 * rows + 1,
+            "up": rows // 2 + 2}[mode]
+
+
+def _table_specs(mode, ny_in, w_in, b_in, rows):
+    """Per-input-row BlockSpecs for a multi-row grid step: slab k holds
+    input row base(i) + k (clamped to [0, ny_in)).  'up' with rows==1
+    uses the legacy per-dy maps (_row_maps) instead."""
+    if mode == "up" and rows == 1:
+        return [pl.BlockSpec((None, w_in, b_in), m,
+                             memory_space=pltpu.VMEM)
+                for m in _row_maps("up", ny_in)]
+    last = ny_in - 1
+    if mode == "subm":
+        base = lambda i: rows * i - 1
+    elif mode == "down":
+        base = lambda i: 2 * rows * i - 1
+    else:
+        assert rows % 2 == 0, "blocked 'up' conv needs even rows"
+        base = lambda i: (rows * i) // 2 - 1
+    specs = []
+    for k in range(_n_slabs(mode, rows)):
+        specs.append(pl.BlockSpec(
+            (None, w_in, b_in),
+            (lambda k: lambda i: (
+                jnp.clip(base(i) + k, 0, last), 0, 0))(k),
+            memory_space=pltpu.VMEM))
+    return specs
 
 
 def _conv_kernel(nbr_ref, w_ref, *rest, nz, cin, cout,
-                 z_stride, out_nz, z_up, n_epi=0, relu=True,
-                 shift_taps=False):
-    """One BEV row of outputs: select 9 neighbor pillars from the three
-    halo slabs, unfold-matmul each z row, overlap-add the 3 z taps,
-    optionally apply the fused eval-mode BN/residual/ReLU/zmask epilogue
-    (n_epi = number of epilogue input refs: 3 or 4).
+                 z_stride, out_nz, z_up, mode="subm", rows=1,
+                 n_epi=0, relu=True, shift_taps=False):
+    """`rows` BEV rows of outputs per grid step: for each local row,
+    select 9 neighbor pillars from its three halo slabs, unfold-matmul
+    each z row, overlap-add the 3 z taps, optionally apply the fused
+    eval-mode BN/residual/ReLU/zmask epilogue (n_epi = number of epilogue
+    input refs: 3 or 4).  rows > 1 amortizes the per-step grid/DMA
+    latency (1504 L0 steps at ~2 us dominated the r3 kernel) and cuts the
+    halo re-read from 3x to (rows+2)/rows.
 
-    Positional refs: slab_m, slab_0, slab_p, [epi...], out, g_scr,
-    unf_scr."""
+    Positional refs: slab[0..K-1], [epi...], out, g_scr, unf_scr."""
     g_scr, unf_scr = rest[-2], rest[-1]
     out_ref = rest[-3]
-    slab_m, slab_0, slab_p = rest[:3]
+    k_slabs = _n_slabs(mode, rows)
+    slabs_all = rest[:k_slabs]
     if n_epi:
-        epi = rest[3:3 + n_epi]
-        epi_refs = (epi[0], epi[1], epi[2], epi[3] if n_epi == 4 else None)
+        epi = rest[k_slabs:k_slabs + n_epi]
+        epi_refs_all = (epi[0], epi[1], epi[2],
+                        epi[3] if n_epi == 4 else None)
     else:
-        epi_refs = None
-    b_out = out_ref.shape[1]
-    _select(nbr_ref, (slab_m, slab_0, slab_p), g_scr,
-            nz=nz, cin=cin, z_up=z_up, shift_taps=shift_taps)
+        epi_refs_all = None
+    b_out = out_ref.shape[-1]
     w = w_ref[:].astype(jnp.bfloat16)             # (3*cout, 9*cin)
-    for u in range(nz + 2):
-        unf_scr[u] = jnp.dot(w, g_scr[u],
-                             preferred_element_type=jnp.float32)
-    acc = None
-    for t in range(3):
-        span = z_stride * (out_nz - 1) + 1
-        if z_stride == 1:
-            part = unf_scr[t:t + span, t * cout:(t + 1) * cout, :]
+    for r in range(rows):
+        if rows == 1:
+            nbr_r, out_r = nbr_ref, out_ref
+            epi_refs = epi_refs_all
         else:
-            # even-length slice + leading-dim reshape drops odd positions
-            part = unf_scr[t:t + span + 1, t * cout:(t + 1) * cout, :]
-            part = part.reshape(out_nz, 2, cout, b_out)[:, 0]
-        acc = part if acc is None else acc + part
-    _epilogue(acc, out_ref, epi_refs, out_nz=out_nz, cout=cout, relu=relu)
+            nbr_r = nbr_ref[r]
+            out_r = None
+            if epi_refs_all is None:
+                epi_refs = None
+            else:
+                sc, bi, zm, res = epi_refs_all
+                epi_refs = (sc, bi, zm[r],
+                            res[r] if res is not None else None)
+        slabs = tuple(slabs_all[_slab_index(mode, r, dy, rows)]
+                      for dy in (-1, 0, 1))
+        _select(nbr_r, slabs, g_scr,
+                nz=nz, cin=cin, z_up=z_up, shift_taps=shift_taps)
+        for u in range(nz + 2):
+            unf_scr[u] = jnp.dot(w, g_scr[u],
+                                 preferred_element_type=jnp.float32)
+        acc = None
+        for t in range(3):
+            span = z_stride * (out_nz - 1) + 1
+            if z_stride == 1:
+                part = unf_scr[t:t + span, t * cout:(t + 1) * cout, :]
+            else:
+                # even-length slice + leading-dim reshape drops odds
+                part = unf_scr[t:t + span + 1, t * cout:(t + 1) * cout, :]
+                part = part.reshape(out_nz, 2, cout, b_out)[:, 0]
+            acc = part if acc is None else acc + part
+        if rows == 1:
+            _epilogue(acc, out_ref, epi_refs, out_nz=out_nz, cout=cout,
+                      relu=relu)
+        else:
+            buf = _epilogue_val(acc, epi_refs, out_nz=out_nz, cout=cout,
+                                relu=relu, dtype=out_ref.dtype)
+            out_ref[r] = buf
 
 
-def _dw_kernel(nbr_ref, dout_ref, slab_m, slab_0, slab_p, dw_ref,
-               g_scr, ug_scr, *, nz, cin, cout, z_stride, out_nz,
-               shift_taps=False):
+def _dw_kernel(nbr_ref, dout_ref, *rest, nz, cin, cout, z_stride, out_nz,
+               mode="subm", rows=1, shift_taps=False):
     """Accumulate the weight gradient over the grid: rebuild the gathered
     block g (as in forward), scatter d_out into the unfold layout (adjoint
     of the overlap-add), contract.  dw (3*cout, 9*cin) f32 with a constant
     out index_map, so grid steps accumulate."""
     i = pl.program_id(0)
-    b = dout_ref.shape[1]
-    _select(nbr_ref, (slab_m, slab_0, slab_p), g_scr,
-            nz=nz, cin=cin, z_up=False, shift_taps=shift_taps)
-    dout = dout_ref[:].reshape(out_nz, cout, b).astype(jnp.bfloat16)
-    if z_stride == 2:
-        half = dout.reshape(out_nz, 1, cout, b)
-        even = jax.lax.broadcasted_iota(
-            jnp.int32, (out_nz, 2, cout, b), 1) == 0
-        dout = jnp.where(even, jnp.broadcast_to(
-            half, (out_nz, 2, cout, b)), 0.0).reshape(2 * out_nz, cout, b)
-    span = dout.shape[0]
-    # unf gradient: column block t holds d_out at z rows [t, t+span)
-    for u in (0, 1, nz, nz + 1):
-        ug_scr[u] = jnp.zeros((3 * cout, b), ug_scr.dtype)
-    for t in range(3):
-        ug_scr[t:t + span, t * cout:(t + 1) * cout, :] = dout
+    dw_ref, g_scr, ug_scr = rest[-3], rest[-2], rest[-1]
+    slabs_all = rest[:_n_slabs(mode, rows)]
+    b = dout_ref.shape[-1]
 
     @pl.when(i == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     acc = dw_ref[:]
-    for u in range(nz + 2):
-        acc = acc + jax.lax.dot_general(
-            ug_scr[u], g_scr[u],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    for r in range(rows):
+        nbr_r = nbr_ref if rows == 1 else nbr_ref[r]
+        dout_r = dout_ref[:] if rows == 1 else dout_ref[r]
+        slabs = tuple(slabs_all[_slab_index(mode, r, dy, rows)]
+                      for dy in (-1, 0, 1))
+        _select(nbr_r, slabs, g_scr,
+                nz=nz, cin=cin, z_up=False, shift_taps=shift_taps)
+        dout = dout_r.reshape(out_nz, cout, b).astype(jnp.bfloat16)
+        if z_stride == 2:
+            half = dout.reshape(out_nz, 1, cout, b)
+            even = jax.lax.broadcasted_iota(
+                jnp.int32, (out_nz, 2, cout, b), 1) == 0
+            dout = jnp.where(even, jnp.broadcast_to(
+                half, (out_nz, 2, cout, b)), 0.0).reshape(
+                    2 * out_nz, cout, b)
+        span = dout.shape[0]
+        # unf gradient: column block t holds d_out at z rows [t, t+span)
+        for u in (0, 1, nz, nz + 1):
+            ug_scr[u] = jnp.zeros((3 * cout, b), ug_scr.dtype)
+        for t in range(3):
+            ug_scr[t:t + span, t * cout:(t + 1) * cout, :] = dout
+        for u in range(nz + 2):
+            acc = acc + jax.lax.dot_general(
+                ug_scr[u], g_scr[u],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
     dw_ref[:] = acc
 
 
@@ -458,10 +545,21 @@ def _row_maps(mode, ny_in):
     raise ValueError(mode)
 
 
+def _pick_rows(ny_out, rows):
+    """Largest divisor of ny_out that is <= rows (and a power of two)."""
+    r = max(1, rows)
+    while r > 1 and (ny_out % r or r & (r - 1)):
+        r -= 1
+    return r
+
+
+CONV_ROWS = int(_os.environ.get("DETZERO_CONV_ROWS", "4"))
+
+
 @partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
-                                   "mode", "interpret"))
+                                   "mode", "interpret", "rows"))
 def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
-                mode="subm", interpret=False):
+                mode="subm", interpret=False, rows=None):
     """One sparse 3x3x3 conv over a transposed row-padded pillar table.
 
     table: (ny_in, nz*cin, B_in) — per-BEV-row feature tiles, pillars in
@@ -487,24 +585,25 @@ def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
     out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
     if (z_stride == 2 or z_up) and nz % 2:
         raise ValueError("z_stride=2 requires even nz")
-    m_m, m_0, m_p = _row_maps(mode, ny_in)
+    rows = _pick_rows(ny_out, CONV_ROWS if rows is None else rows)
+    tspecs = _table_specs(mode, ny_in, w_in, b_in, rows)
     kern = partial(_conv_kernel, nz=nz, cin=cin, cout=cout,
                    z_stride=z_stride, out_nz=out_nz, z_up=z_up,
+                   mode=mode, rows=rows,
                    shift_taps=SHIFT_TAPS and mode == "subm"
                    and b_in == b_out)
+    rblk = None if rows == 1 else rows
     return pl.pallas_call(
         kern,
-        grid=(ny_out,),
+        grid=(ny_out // rows,),
         in_specs=[
-            pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
+            pl.BlockSpec((rblk, NBR_ROWS, b_out), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * cout, 9 * cin), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, w_in, b_in), m_m, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, w_in, b_in), m_0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, w_in, b_in), m_p, memory_space=pltpu.VMEM),
+            *tspecs,
         ],
-        out_specs=pl.BlockSpec((None, out_nz * cout, b_out),
+        out_specs=pl.BlockSpec((rblk, out_nz * cout, b_out),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny_out, out_nz * cout, b_out),
@@ -514,14 +613,15 @@ def rowpad_conv(table, nbr, w2, *, nz, cin, cout, z_stride=1, out_nz=None,
             pltpu.VMEM((nz + 2, 3 * cout, b_out), jnp.float32),
         ],
         interpret=interpret,
-    )(nbr, w2.astype(jnp.bfloat16), *((table.astype(jnp.bfloat16),) * 3))
+    )(nbr, w2.astype(jnp.bfloat16),
+      *((table.astype(jnp.bfloat16),) * len(tspecs)))
 
 
 @partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
-                                   "mode", "relu", "interpret"))
+                                   "mode", "relu", "interpret", "rows"))
 def rowpad_conv_fused(table, nbr, w2, scale, bias, zmask, residual=None, *,
                       nz, cin, cout, z_stride=1, out_nz=None, mode="subm",
-                      relu=True, interpret=False):
+                      relu=True, interpret=False, rows=None):
     """rowpad_conv + fused EVAL-mode epilogue in one kernel:
         out = relu(conv * scale + bias [+ residual]) * zmask
     scale/bias: (cout,) folded BN affine (scale * rsqrt(var + eps) and
@@ -534,41 +634,41 @@ def rowpad_conv_fused(table, nbr, w2, scale, bias, zmask, residual=None, *,
     out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
     if z_stride == 2 and nz % 2:
         raise ValueError("z_stride=2 requires even nz")
-    m_m, m_0, m_p = _row_maps(mode, ny_in)
+    rows = _pick_rows(ny_out, CONV_ROWS if rows is None else rows)
+    tspecs = _table_specs(mode, ny_in, w_in, b_in, rows)
     n_epi = 4 if residual is not None else 3
     kern = partial(_conv_kernel, nz=nz, cin=cin, cout=cout,
                    z_stride=z_stride, out_nz=out_nz, z_up=False,
-                   n_epi=n_epi, relu=relu,
+                   mode=mode, rows=rows, n_epi=n_epi, relu=relu,
                    shift_taps=SHIFT_TAPS and mode == "subm"
                    and b_in == b_out)
+    rblk = None if rows == 1 else rows
     in_specs = [
-        pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
+        pl.BlockSpec((rblk, NBR_ROWS, b_out), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * cout, 9 * cin), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, w_in, b_in), m_m, memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, w_in, b_in), m_0, memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, w_in, b_in), m_p, memory_space=pltpu.VMEM),
+        *tspecs,
         pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, out_nz, b_out), lambda i: (i, 0, 0),
+        pl.BlockSpec((rblk, out_nz, b_out), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [nbr, w2.astype(jnp.bfloat16)] \
-        + [table.astype(jnp.bfloat16)] * 3 \
+        + [table.astype(jnp.bfloat16)] * len(tspecs) \
         + [scale.reshape(1, cout).astype(jnp.float32),
            bias.reshape(1, cout).astype(jnp.float32),
            zmask.astype(jnp.int8)]
     if residual is not None:
-        in_specs.append(pl.BlockSpec((None, out_nz * cout, b_out),
+        in_specs.append(pl.BlockSpec((rblk, out_nz * cout, b_out),
                                      lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(residual.astype(jnp.bfloat16))
     return pl.pallas_call(
         kern,
-        grid=(ny_out,),
+        grid=(ny_out // rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, out_nz * cout, b_out),
+        out_specs=pl.BlockSpec((rblk, out_nz * cout, b_out),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny_out, out_nz * cout, b_out),
@@ -582,30 +682,30 @@ def rowpad_conv_fused(table, nbr, w2, scale, bias, zmask, residual=None, *,
 
 
 @partial(jax.jit, static_argnames=("nz", "cin", "cout", "z_stride", "out_nz",
-                                   "mode", "interpret"))
+                                   "mode", "interpret", "rows"))
 def rowpad_conv_dw(table, nbr, d_out, *, nz, cin, cout, z_stride=1,
-                   out_nz=None, mode="subm", interpret=False):
+                   out_nz=None, mode="subm", interpret=False, rows=None):
     """Weight gradient of rowpad_conv: returns (3*cout, 9*cin) f32 (the
     weight_fwd layout; map back with dw_to_spconv)."""
     ny_in, w_in, b_in = table.shape
     ny_out, _, b_out = nbr.shape
     out_nz = out_nz if out_nz is not None else (nz - 1) // z_stride + 1
-    m_m, m_0, m_p = _row_maps(mode, ny_in)
+    rows = _pick_rows(ny_out, CONV_ROWS if rows is None else rows)
+    tspecs = _table_specs(mode, ny_in, w_in, b_in, rows)
     kern = partial(_dw_kernel, nz=nz, cin=cin, cout=cout,
-                   z_stride=z_stride, out_nz=out_nz,
+                   z_stride=z_stride, out_nz=out_nz, mode=mode, rows=rows,
                    shift_taps=SHIFT_TAPS and mode == "subm"
                    and b_in == b_out)
+    rblk = None if rows == 1 else rows
     return pl.pallas_call(
         kern,
-        grid=(ny_out,),
+        grid=(ny_out // rows,),
         in_specs=[
-            pl.BlockSpec((None, NBR_ROWS, b_out), lambda i: (i, 0, 0),
+            pl.BlockSpec((rblk, NBR_ROWS, b_out), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, out_nz * cout, b_out), lambda i: (i, 0, 0),
+            pl.BlockSpec((rblk, out_nz * cout, b_out), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, w_in, b_in), m_m, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, w_in, b_in), m_0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, w_in, b_in), m_p, memory_space=pltpu.VMEM),
+            *tspecs,
         ],
         out_specs=pl.BlockSpec((3 * cout, 9 * cin), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -615,7 +715,7 @@ def rowpad_conv_dw(table, nbr, d_out, *, nz, cin, cout, z_stride=1,
             pltpu.VMEM((nz + 2, 3 * cout, b_out), jnp.bfloat16),
         ],
         interpret=interpret,
-    )(nbr, d_out, table, table, table)
+    )(nbr, d_out, *((table,) * len(tspecs)))
 
 
 def dw_to_spconv(dw2, cin, cout):
