@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -128,8 +129,9 @@ def bench_train(tiny: bool):
     tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
 
-    def train_step(carry, _):
+    def train_step(data, carry, _):
         params, stats, opt_state = carry
+        pts, pv, gb, gc, gv = data
 
         def lfn(p):
             loss, (aux, updates) = model.loss(
@@ -143,23 +145,30 @@ def bench_train(tiny: bool):
 
     k = int(os.environ.get("BENCH_SCAN", "2" if tiny else "8"))
 
-    def fused(params, stats, opt_state):
-        carry, losses = lax.scan(train_step, (params, stats, opt_state),
+    # the batch rides as a jit ARG (not a closure constant): XLA constant-
+    # folds the whole voxelize/plan chain of a literal point cloud at
+    # compile time, which would silently drop the table build from the
+    # measured step (observed: minutes-long folding of the 4.8M-row feats
+    # scatter during compilation)
+    def fused(params, stats, opt_state, data):
+        carry, losses = lax.scan(partial(train_step, data),
+                                 (params, stats, opt_state),
                                  None, length=k)
         return carry, losses
 
+    data = (pts, pv, gb, gc, gv)
     step = jax.jit(fused, donate_argnums=(0, 2))
     single = _flops_cpu(
-        lambda p, s, o: train_step((p, s, o), None)[0],
-        params, stats, opt_state)
+        lambda p, s, o, d: train_step(d, (p, s, o), None)[0],
+        params, stats, opt_state, data)
     flops = single / b if single else None
-    carry, losses = step(params, stats, opt_state)
+    carry, losses = step(params, stats, opt_state, data)
     float(losses.sum())  # scalar fetch: block_until_ready lies on axon
     params, stats, opt_state = carry
     n_iter = 2 if tiny else 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        carry, losses = step(*carry)
+        carry, losses = step(*carry, data)
         float(losses.sum())
     dt = time.perf_counter() - t0
     ms_per_step = dt / (n_iter * k) * 1e3
