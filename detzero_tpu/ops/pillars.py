@@ -105,24 +105,34 @@ def build_pillar_table(points, valid, grid_zyx, voxel_size, pc_range,
     # dense slot per point; overflow/invalid -> dump slot
     slot = jnp.where(in_budget, prow * nz + sz, max_pillars * nz)
 
-    sums = jax.ops.segment_sum(
-        jnp.where(in_budget[:, None], spts, 0.0), slot,
+    # ONE fused scatter for sums + counts + per-pillar cell id.  TPU scatter
+    # cost is dominated by a per-row serialization (~90 ns/row measured via
+    # tools/bisect_perf.py), so three separate segment ops over the same
+    # 160k-row stream triple the bill for no reason.  The cell id rides as a
+    # payload column: every occupied slot's points share one scell value
+    # (<= ny*nx ~ 2.3M, exact in f32), so sum(scell * slot_first) recovers
+    # it per slot, and a dense max over z lifts it to the pillar.
+    w = in_budget.astype(points.dtype)
+    cellcol = jnp.where(in_budget, scell, 0).astype(points.dtype)
+    sfirst = (jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
+              & in_budget)
+    payload = jnp.concatenate([
+        jnp.where(in_budget[:, None], spts, 0.0),  # where, not *w: 0*nan=nan
+        w[:, None],
+        (cellcol * sfirst)[:, None],
+    ], axis=1)
+    agg = jax.ops.segment_sum(
+        payload, slot,
         num_segments=max_pillars * nz + 1, indices_are_sorted=True,
     )[:-1]
-    counts = jax.ops.segment_sum(
-        in_budget.astype(points.dtype), slot,
-        num_segments=max_pillars * nz + 1, indices_are_sorted=True,
-    )[:-1]
+    sums, counts, cellv = agg[:, :-2], agg[:, -2], agg[:, -1]
     feats = (sums / jnp.maximum(counts[:, None], 1.0)).reshape(
         max_pillars, nz, -1)
     zmask = (counts > 0).reshape(max_pillars, nz)
 
-    # per-pillar cell id (segment_min over the sorted stream)
-    pseg = jnp.where(in_budget, prow, max_pillars)
-    cells = jax.ops.segment_min(
-        jnp.where(in_budget, scell, INVALID_ID), pseg,
-        num_segments=max_pillars + 1, indices_are_sorted=True,
-    )[:-1]
+    # per-pillar cell id: every occupied z slot of a pillar carries the same
+    # scell, so a dense z-max replaces the old segment_min scatter
+    cells = cellv.reshape(max_pillars, nz).max(axis=1).astype(jnp.int32)
     mask = jnp.arange(max_pillars) < num_pillars
     cells = jnp.where(mask, cells, INVALID_ID)
     coords2d = jnp.where(
