@@ -252,12 +252,18 @@ class PallasResBackbone8x(nn.Module):
         lvl0 = plan[0]
         nz0, ny0, _ = grids[0]
         mp, _, f_in = pillar_feats.shape
-        # compact -> row-padded transposed (gather both ways, see
-        # pillars.rowpad_gather)
-        x = pillars.rowpad_gather(
-            pillar_feats.reshape(mp, -1).astype(self.dtype),
-            lvl0["rp_gidx"], lvl0["rp_gvalid"],
-            lvl0["rp_slot"], lvl0["rp_keep"])
+        if "rp_feats" in lvl0:
+            # stream VFE (ops/pallas_pillar.stream_rowpad_feats): the table
+            # arrived already reduced into the rowpad layout; pillar_feats
+            # is a dead placeholder (XLA DCEs its zeros fill)
+            x = lvl0["rp_feats"].astype(self.dtype)
+        else:
+            # compact -> row-padded transposed (gather both ways, see
+            # pillars.rowpad_gather)
+            x = pillars.rowpad_gather(
+                pillar_feats.reshape(mp, -1).astype(self.dtype),
+                lvl0["rp_gidx"], lvl0["rp_gvalid"],
+                lvl0["rp_slot"], lvl0["rp_keep"])
         x = SparseConvBNReLU(self.channels[0], 27, **kw)(
             x, lvl0["rp_zmask"], lvl0["rp_nbr"], nz=nz0)
         multi_scale = {}

@@ -18,6 +18,7 @@ The flagship single-stage model; the PDV second stage plugs in behind
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Sequence
 
 import jax
@@ -261,10 +262,28 @@ class CenterPoint:
             )
             from detzero_tpu.ops.pillars import build_pillar_table
 
+            # stream VFE: the pallas backend never materializes the dense
+            # (MP, nz, F) mean table — stream_rowpad_feats reduces the
+            # sorted point stream straight into the rowpad conv layout
+            # (bit-exact vs the dense path; ~16 ms/frame cheaper on v5e).
+            # The dense table is still built when the PDV second stage
+            # needs per-voxel centroids.
+            from detzero_tpu.ops import pallas_pillar as ppk
+            # resolve_use_pallas gates the kernel at TRACE time like the
+            # convs: DETZERO_FORCE_PALLAS=0 (bench._flops_cpu) falls back
+            # to the dense segment-sum table, =1 runs the kernel in
+            # interpret mode off-TPU (CPU multichip dryrun).
+            stream_vfe = (self.backend == "pillar_pallas"
+                          and not self.second_stage
+                          and ppk.resolve_use_pallas(None)
+                          and os.environ.get("DETZERO_STREAM_VFE",
+                                             "1") == "1")
+
             def one(p, v):
                 table = build_pillar_table(
                     p, v, self.grid_zyx, self.voxel_size, self.pc_range,
-                    self.pillar_capacities[0])
+                    self.pillar_capacities[0],
+                    feats_mode="stream" if stream_vfe else "dense")
                 plan = build_pillar_plan(
                     table, self.grid_zyx, self.pillar_capacities,
                     site_mode=self.site_mode,
@@ -277,7 +296,18 @@ class CenterPoint:
                                                self.row_budget)
                 return table, plan
 
-            return jax.vmap(one)(points, points_valid)
+            table, plan = jax.vmap(one)(points, points_valid)
+            if stream_vfe:
+                stream = table.pop("stream")
+                nz0 = self.grid_zyx[0]
+                ny0 = self.grid_zyx[1]
+                plan[0]["rp_feats"] = jax.lax.map(
+                    lambda s: ppk.stream_rowpad_feats(
+                        s["payload"], s["meta"], s["wstart"], nz=nz0,
+                        ny=ny0, row_budget=self.row_budget,
+                        out_dtype=self.net.dtype,
+                        interpret=not ppk._on_tpu()), stream)
+            return table, plan
         table = jax.vmap(self.voxelize)(points, points_valid)
         plan = jax.vmap(self.build_plan)(table)
         return table, plan

@@ -872,3 +872,114 @@ def rowpad_conv_reference(table, nbr, weight, *, nz, cin, cout, z_stride=1,
                                 out_nz, jnp.float32)
     out = out.reshape(ny_out, b_out, out_nz * cout)
     return jnp.transpose(out, (0, 2, 1)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Stream -> rowpad VFE kernel (r4)
+# ---------------------------------------------------------------------------
+
+def _stream_feats_kernel(ws_ref, payload_ref, meta_ref, out_ref, *,
+                         nz, f, b, out_dtype):
+    """One BEV row of the rowpad table, reduced straight from the sorted
+    point stream.
+
+    The XLA table build pays a WIDE segment scatter for the per-voxel
+    means — 14.2 ms for 160k x 5 f32 rows into the dense (MP*nz) slot
+    space (tools/bisect_perf.py segsum_sorted_160kx5), ~7 GB/s effective
+    on a 96 MB mostly-empty write — and the backbone then re-gathers that
+    table into the rowpad layout.  But the stream is sorted by
+    (cell, z) = BEV-row-major, so each rowpad OUTPUT ROW is a contiguous
+    INPUT WINDOW: this kernel keeps the whole stream VMEM-resident
+    (~6 MB), walks each row's window in 128-point lane blocks, and
+    reduces every block with ONE (nz*C, 128) x (128, B) MXU matmul —
+    z-onehot-expanded payload against the lane one-hot.  Output is
+    written dense-linearly; neither direction touches a scatter.
+
+    payload_ref: (NQ*C, 128) f32 — point block q, channel c at sublane
+        q*C + c; channels = [point feats..., in_budget weight].
+    meta_ref:    (NQ*2, 128) i32 — rows q*2 / q*2+1 = lane-in-row (>= b
+        selects nothing) / z.
+    ws_ref:      (ny+1,) i32 scalar-prefetch — per-row window starts into
+        the point stream (points of BEV row y = [ws[y], ws[y+1]))."""
+    y = pl.program_id(0)
+    c = f + 1
+    s0 = ws_ref[y]
+    s1 = ws_ref[y + 1]
+    q0 = s0 // 128
+    q1 = (s1 + 127) // 128
+    eye = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) \
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    eye = eye.astype(jnp.float32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, b), 1)
+    z_iota = jax.lax.broadcasted_iota(jnp.int32, (nz, 128), 0)
+
+    def body(q, acc):
+        pc = payload_ref[pl.ds(q * c, c), :]                # (C, 128) f32
+        mt = meta_ref[pl.ds(q * 2, 2), :]                   # (2, 128) i32
+        lane = mt[0:1, :]                                   # (1, 128)
+        zz = mt[1:2, :]
+        t = q * 128 + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        inwin = ((t >= s0) & (t < s1)).astype(jnp.float32)
+        # lanes -> sublanes without a transpose: contract the lane dim of
+        # (1, 128) against identity columns on the MXU (exact for ids < 2^24)
+        lane_s = jax.lax.dot_general(
+            eye, lane.astype(jnp.float32) + (1.0 - inwin) * (b + 1),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (128, 1)
+        r = (lane_s.astype(jnp.int32) == lane_iota).astype(jnp.float32)
+        oz = (z_iota == zz).astype(jnp.float32)             # (nz, 128)
+        qz = (oz[:, None, :] * pc[None, :, :]).reshape(nz * c, 128)
+        # HIGHEST: Mosaic's default f32 dot runs a single bf16 MXU pass
+        # (measured 0.25 abs error on +-75 coords); the one-hot contraction
+        # must keep full f32 mantissas for the means to match the segsum
+        return acc + jax.lax.dot_general(
+            qz, r, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)             # (nz*C, B)
+
+    acc = jax.lax.fori_loop(
+        q0, q1, body, jnp.zeros((nz * c, b), jnp.float32))
+    acc = acc.reshape(nz, c, b)
+    counts = acc[:, f:f + 1, :]
+    feats = acc[:, :f, :] / jnp.maximum(counts, 1.0)
+    out_ref[:] = feats.reshape(nz * f, b).astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("nz", "ny", "row_budget", "out_dtype",
+                                   "interpret"))
+def stream_rowpad_feats(payload, meta, wstart, *, nz, ny, row_budget,
+                        out_dtype=jnp.float32, interpret=False):
+    """Sorted point stream -> row-padded transposed VFE table
+    (ny, nz*F, B): per-voxel segment MEANS laid out exactly as
+    pillars.rowpad_gather(feats.reshape(MP, -1), ...) would produce from
+    the dense table (parity: tests/test_pallas_pillar.py).
+
+    payload: (NQ*C, 128) f32 (see _stream_feats_kernel; C = F + 1).
+    meta:    (NQ*2, 128) int32.
+    wstart:  (ny + 1,) int32 row windows (monotone; wstart[ny] may stop
+        short of the padded stream — the tail never enters a window).
+    """
+    cq, lanes = payload.shape
+    assert lanes == 128 and meta.shape[1] == 128
+    f = cq // (meta.shape[0] // 2) - 1
+    kern = partial(_stream_feats_kernel, nz=nz, f=f, b=row_budget,
+                   out_dtype=out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ny,),
+        in_specs=[
+            pl.BlockSpec(payload.shape, lambda i, ws: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(meta.shape, lambda i, ws: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, nz * f, row_budget),
+                               lambda i, ws: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ny, nz * f, row_budget), out_dtype),
+        interpret=interpret,
+    )(wstart.astype(jnp.int32), payload, meta)

@@ -49,9 +49,11 @@ BEV_OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 # Pillar table construction (the voxelizer)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("grid_zyx", "max_pillars", "with_point_slot"))
+@partial(jax.jit, static_argnames=("grid_zyx", "max_pillars",
+                                   "with_point_slot", "feats_mode"))
 def build_pillar_table(points, valid, grid_zyx, voxel_size, pc_range,
-                       max_pillars, with_point_slot: bool = False):
+                       max_pillars, with_point_slot: bool = False,
+                       feats_mode: str = "dense"):
     """Points -> z-dense pillar table. One argsort; no searches.
 
     Replaces both the reference CPU voxelizer (Point2VoxelCPU3d,
@@ -64,6 +66,14 @@ def build_pillar_table(points, valid, grid_zyx, voxel_size, pc_range,
         max_pillars: static pillar budget MP.
         with_point_slot: also emit per-point dense slot index (adds an
             inverse-permutation scatter; only request when needed).
+        feats_mode: "dense" (default) materializes the (MP, nz, F) mean
+            table via the wide segment scatter; "stream" skips it (feats
+            is a zeros placeholder the consumer must ignore) and instead
+            emits a "stream" sub-dict (payload/meta/wstart) for the
+            pallas stream_rowpad_feats kernel, which reduces the sorted
+            stream STRAIGHT into the row-padded conv layout — the wide
+            scatter costs 14.2 ms/frame on TPU, the kernel ~2
+            (tools/bisect_perf.py segsum_sorted_160kx5 vs stream_feats).
 
     Returns dict:
         cells:    (MP,) int32 linear BEV id y*nx+x, ascending; INVALID pad.
@@ -113,26 +123,73 @@ def build_pillar_table(points, valid, grid_zyx, voxel_size, pc_range,
     # (<= ny*nx ~ 2.3M, exact in f32), so sum(scell * slot_first) recovers
     # it per slot, and a dense max over z lifts it to the pillar.
     w = in_budget.astype(points.dtype)
-    cellcol = jnp.where(in_budget, scell, 0).astype(points.dtype)
-    sfirst = (jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
-              & in_budget)
-    payload = jnp.concatenate([
-        jnp.where(in_budget[:, None], spts, 0.0),  # where, not *w: 0*nan=nan
-        w[:, None],
-        (cellcol * sfirst)[:, None],
-    ], axis=1)
-    agg = jax.ops.segment_sum(
-        payload, slot,
-        num_segments=max_pillars * nz + 1, indices_are_sorted=True,
-    )[:-1]
-    sums, counts, cellv = agg[:, :-2], agg[:, -2], agg[:, -1]
-    feats = (sums / jnp.maximum(counts[:, None], 1.0)).reshape(
-        max_pillars, nz, -1)
-    zmask = (counts > 0).reshape(max_pillars, nz)
+    stream = None
+    if feats_mode == "dense":
+        cellcol = jnp.where(in_budget, scell, 0).astype(points.dtype)
+        sfirst = (jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
+                  & in_budget)
+        payload = jnp.concatenate([
+            jnp.where(in_budget[:, None], spts, 0.0),  # where, not *w:
+            w[:, None],                                # 0*nan = nan
+            (cellcol * sfirst)[:, None],
+        ], axis=1)
+        agg = jax.ops.segment_sum(
+            payload, slot,
+            num_segments=max_pillars * nz + 1, indices_are_sorted=True,
+        )[:-1]
+        sums, counts, cellv = agg[:, :-2], agg[:, -2], agg[:, -1]
+        feats = (sums / jnp.maximum(counts[:, None], 1.0)).reshape(
+            max_pillars, nz, -1)
+        zmask = (counts > 0).reshape(max_pillars, nz)
+        # per-pillar cell id: every occupied z slot of a pillar carries the
+        # same scell, so a dense z-max replaces the old segment_min scatter
+        cells = cellv.reshape(max_pillars, nz).max(axis=1).astype(jnp.int32)
+    elif feats_mode == "stream":
+        # narrow (1-column) scatters only: slot occupancy + per-pillar cell.
+        # The means never materialize densely — stream_rowpad_feats reduces
+        # them straight into the conv layout.
+        counts1 = jax.ops.segment_sum(
+            w, slot, num_segments=max_pillars * nz + 1,
+            indices_are_sorted=True)[:-1]
+        zmask = (counts1 > 0).reshape(max_pillars, nz)
+        feats = jnp.zeros((max_pillars, nz, points.shape[1]), points.dtype)
+        pseg = jnp.where(in_budget, prow, max_pillars)
+        cells = jax.ops.segment_max(
+            jnp.where(in_budget, scell, -1), pseg,
+            num_segments=max_pillars + 1, indices_are_sorted=True,
+        )[:-1].astype(jnp.int32)
+        srow = jnp.where(in_budget, scell // nx, ny)
+        # per-row point windows + per-row pillar starts (rank -> lane)
+        whist = jnp.zeros(ny + 1, jnp.int32).at[srow].add(
+            in_budget.astype(jnp.int32))[:-1]
+        wstart = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(whist)])
+        prow_row = jnp.where(in_budget & pfirst, srow, ny)
+        phist = jnp.zeros(ny + 1, jnp.int32).at[prow_row].add(1)[:-1]
+        pstart = jnp.cumsum(phist) - phist
+        lane = jnp.where(in_budget,
+                         prow - pstart[jnp.clip(srow, 0, ny - 1)],
+                         jnp.iinfo(jnp.int32).max // 2)
+        n = spts.shape[0]
+        nq = -(-n // 128)
+        pad = nq * 128 - n
 
-    # per-pillar cell id: every occupied z slot of a pillar carries the same
-    # scell, so a dense z-max replaces the old segment_min scatter
-    cells = cellv.reshape(max_pillars, nz).max(axis=1).astype(jnp.int32)
+        def _pack(cols, dtype):
+            a = jnp.pad(jnp.stack(cols, axis=1).astype(dtype),
+                        ((0, pad), (0, 0)))
+            k = a.shape[1]
+            return jnp.transpose(a.reshape(nq, 128, k),
+                                 (0, 2, 1)).reshape(nq * k, 128)
+
+        stream = {
+            "payload": _pack(
+                [jnp.where(in_budget, spts[:, i], 0.0)
+                 for i in range(spts.shape[1])] + [w], points.dtype),
+            "meta": _pack([lane, jnp.where(in_budget, sz, nz)], jnp.int32),
+            "wstart": wstart,
+        }
+    else:
+        raise ValueError(feats_mode)
     mask = jnp.arange(max_pillars) < num_pillars
     cells = jnp.where(mask, cells, INVALID_ID)
     coords2d = jnp.where(
@@ -147,6 +204,8 @@ def build_pillar_table(points, valid, grid_zyx, voxel_size, pc_range,
     if with_point_slot:
         out["point_slot"] = jnp.full(p, -1, jnp.int32).at[order].set(
             jnp.where(in_budget, slot, -1))
+    if stream is not None:
+        out["stream"] = stream
     return out
 
 
@@ -631,12 +690,41 @@ def build_rowpad_nbr(coords2d, mask, slot, keep, in_rank_lut, in_bev_hw,
     return _nbr_scatter(vals, slot, keep, ny_out, b_out, b_in, nbr_rows)
 
 
-def densify_pillars(feats, cells, mask, bev_hw):
-    """(MP, D) pillar features -> dense (ny, nx, D) BEV map via one
-    unique-index row scatter (MP is small at the final stride)."""
+def _densify_impl(feats, cells, mask, bev_hw):
     ny, nx = bev_hw
     safe = jnp.where(mask, cells, ny * nx)
-    out = jnp.zeros((ny * nx + 1, feats.shape[-1]), feats.dtype)
-    out = out.at[safe].add(jnp.where(mask[:, None], feats, 0),
-                           unique_indices=True)
-    return out[:-1].reshape(ny, nx, -1)
+    lut = jnp.zeros((ny * nx + 1,), jnp.int32)
+    lut = lut.at[safe].max(
+        jnp.arange(feats.shape[0], dtype=jnp.int32) + 1, unique_indices=True)
+    padded = jnp.concatenate(
+        [jnp.zeros((1, feats.shape[-1]), feats.dtype), feats], axis=0)
+    return padded[lut[:-1]].reshape(ny, nx, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def densify_pillars(feats, cells, mask, bev_hw):
+    """(MP, D) pillar features -> dense (ny, nx, D) BEV map.
+
+    Gather-based: TPU scatter cost scales with the payload width (measured
+    11.3 ms for a 15k x 128 f32 row scatter vs 1.5 ms for one int column —
+    tools/bisect_perf.py densify/scatter stages), so scatter only a rank LUT
+    (1 int32 column) and lift the feature rows with a dense gather.  The VJP
+    is a pure gather too (cells are unique per live pillar), so neither
+    direction pays a wide scatter."""
+    return _densify_impl(feats, cells, mask, bev_hw)
+
+
+def _densify_fwd(feats, cells, mask, bev_hw):
+    return _densify_impl(feats, cells, mask, bev_hw), (cells, mask)
+
+
+def _densify_bwd(bev_hw, res, g):
+    cells, mask = res
+    ny, nx = bev_hw
+    g2 = g.reshape(ny * nx, -1)
+    safe = jnp.clip(jnp.where(mask, cells, 0), 0, ny * nx - 1)
+    gf = jnp.where(mask[:, None], g2[safe], 0)
+    return gf, None, None
+
+
+densify_pillars.defvjp(_densify_fwd, _densify_bwd)

@@ -97,6 +97,45 @@ def test_second_stage_parity(data):
     assert np.abs(a - b).max() < 0.05
 
 
+def test_stream_vfe_parity(data, models, monkeypatch):
+    """DETZERO_STREAM_VFE=1 (stream_rowpad_feats kernel reduces the sorted
+    point stream straight into the rowpad layout) is bit-compatible with
+    the dense segment-sum table + rowpad_gather path, end to end.
+
+    FORCE_PALLAS=1 so the stream kernel actually runs (interpret mode on
+    CPU) — stream VFE follows resolve_use_pallas like the convs, so the
+    bench's FORCE_PALLAS=0 FLOP-count trace stays cpu-lowerable."""
+    pts, pv, *_ = data
+    _, m_off, v = models  # models fixture builds with the env default (on)
+    monkeypatch.setenv("DETZERO_FORCE_PALLAS", "1")
+    monkeypatch.setenv("DETZERO_STREAM_VFE", "0")
+    m2 = _build("pillar_pallas")
+    p_off, _, _ = m2.apply(v, pts, pv, train=False, mutable_stats=False)
+    monkeypatch.setenv("DETZERO_STREAM_VFE", "1")
+    m3 = _build("pillar_pallas")
+    p_on, _, _ = m3.apply(v, pts, pv, train=False, mutable_stats=False)
+    for k in ("hm", "center", "dim", "rot"):
+        a, b = np.float32(p_off[0][k]), np.float32(p_on[0][k])
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1.0), k
+
+
+def test_stream_vfe_overflow_parity(data, monkeypatch):
+    """Row overflow (budget 8): the stream kernel must drop exactly the
+    pillars the gather path drops (lane-vs-slot assignment agreement)."""
+    pts, pv, *_ = data
+    monkeypatch.setenv("DETZERO_FORCE_PALLAS", "1")
+    monkeypatch.setenv("DETZERO_STREAM_VFE", "0")
+    m_off = _build("pillar_pallas", row_budget=8)
+    v = m_off.init(jax.random.PRNGKey(0), pts, pv)
+    p_off, _, _ = m_off.apply(v, pts, pv, train=False, mutable_stats=False)
+    monkeypatch.setenv("DETZERO_STREAM_VFE", "1")
+    m_on = _build("pillar_pallas", row_budget=8)
+    p_on, _, _ = m_on.apply(v, pts, pv, train=False, mutable_stats=False)
+    for k in ("hm", "center", "dim", "rot"):
+        a, b = np.float32(p_off[0][k]), np.float32(p_on[0][k])
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1.0), k
+
+
 def test_small_row_budget_no_crash(data):
     """Overflowing rows (budget 8) must drop pillars, not crash or NaN."""
     pts, pv, *_ = data

@@ -227,3 +227,15 @@ def test_densify_pillars_matches_dense():
             y, x = divmod(int(tab["cells"][p]), nx)
             want[y, x] = np.asarray(feats)[p]
     np.testing.assert_allclose(dense, want, rtol=1e-6)
+
+    # custom VJP (pure-gather backward) vs the hand oracle: the cotangent
+    # of a live pillar is the dense-map cotangent at its cell
+    co = jnp.asarray(rng.randn(ny, nx, 6).astype(np.float32))
+    g = np.asarray(jax.grad(lambda f: jnp.vdot(pillars.densify_pillars(
+        f, tab["cells"], tab["mask"], GRID[1:]), co))(feats))
+    want_g = np.zeros((256, 6), np.float32)
+    for p in range(256):
+        if tab["mask"][p]:
+            y, x = divmod(int(tab["cells"][p]), nx)
+            want_g[p] = np.asarray(co)[y, x]
+    np.testing.assert_allclose(g, want_g, rtol=1e-6)
