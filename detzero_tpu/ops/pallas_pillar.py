@@ -107,53 +107,43 @@ def _select(nbr_ref, slabs, g_scr, *, nz, cin, z_up, shift_taps=False):
     unmodified bf16 source value."""
     b_in = slabs[0].shape[1]
     b_out = g_scr.shape[2]
-    iota3 = jax.lax.broadcasted_iota(jnp.int32, (b_in, 3 * b_out), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b_in, b_out), 0)
     g_scr[0] = jnp.zeros_like(g_scr[0])
     g_scr[nz + 1] = jnp.zeros_like(g_scr[0])
-    for s in range(3):                     # halo slab s <-> BEV dy = s - 1
-        src = slabs[s][:].astype(jnp.bfloat16)
-        if shift_taps and s == 1 and not z_up:
-            for j in (3, 4, 5):
-                # found mask: nbr rank < B_in (absent taps encode >= B_in).
-                # Lane 0 (j=3) / lane B-1 (j=5) can never be found — their
-                # would-be neighbor rank is -1 / B — so the roll wraparound
-                # is always masked.
-                fnd = (nbr_ref[j:j + 1, :] < b_in).astype(jnp.bfloat16)
-                sj = src
-                if j != 4:
-                    # Mosaic's vector rotate is 32-bit only ("Rotate with
-                    # non-32-bit data" compile error on bf16) — roll in f32
-                    shift = 1 if j == 3 else b_in - 1  # b_in-1 == roll(-1)
-                    sj = pltpu.roll(src.astype(jnp.float32), shift,
-                                    1).astype(jnp.bfloat16)
-                gj = sj * fnd
-                g_scr[1:nz + 1, j * cin:(j + 1) * cin, :] = (
-                    gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
+    for j in range(9):
+        src = slabs[j // 3][:].astype(jnp.bfloat16)
+        if shift_taps and j in (3, 4, 5) and not z_up:
+            # found mask: nbr rank < B_in (absent taps encode >= B_in).
+            # Lane 0 (j=3) / lane B-1 (j=5) can never be found — their
+            # would-be neighbor rank is -1 / B — so the roll wraparound
+            # is always masked.
+            fnd = (nbr_ref[j:j + 1, :] < b_in).astype(jnp.bfloat16)
+            if j != 4:
+                # Mosaic's vector rotate is 32-bit only ("Rotate with
+                # non-32-bit data" compile error on bf16) — roll in f32
+                shift = 1 if j == 3 else b_in - 1  # b_in-1 == roll(-1)
+                src = pltpu.roll(src.astype(jnp.float32), shift,
+                                 1).astype(jnp.bfloat16)
+            gj = src * fnd
+            g_scr[1:nz + 1, j * cin:(j + 1) * cin, :] = (
+                gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
             continue
-        # ONE (b_in, 3*b_out) one-hot matmul selects all three dx taps of
-        # this slab (the kernel is selection-compute-bound at L0; batching
-        # the taps cuts MXU op count 3x at identical FLOPs).
         # NOTE (r4): a lane-dim jnp.take_along_axis would make this selection
         # FLOP-free, but Mosaic on this toolchain fails to lower it (remote
         # compile: INTERNAL tpu_compile_helper exit 1) — probed 2026-08-18.
-        nbr3 = jnp.concatenate(
-            [nbr_ref[3 * s + t:3 * s + t + 1, :] for t in range(3)], axis=1)
-        oh = (nbr3 == iota3).astype(jnp.bfloat16)
+        oh = (nbr_ref[j:j + 1, :] == iota).astype(jnp.bfloat16)
         # Mosaic requires a 32-bit matmul accumulator; one-hot rows have at
         # most one term, so the f32->bf16 round-trip is exact
-        g3 = jax.lax.dot_general(src, oh, (((1,), (0,)), ((), ())),
+        gj = jax.lax.dot_general(src, oh, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        for t in range(3):
-            j = 3 * s + t
-            gj = g3[:, t * b_out:(t + 1) * b_out]
-            if z_up:
-                half = gj.reshape(nz // 2, 1, cin, b_out)
-                even = jax.lax.broadcasted_iota(
-                    jnp.int32, (nz // 2, 2, cin, b_out), 1) == 0
-                gj = jnp.where(even, jnp.broadcast_to(
-                    half, (nz // 2, 2, cin, b_out)), 0.0)
-            g_scr[1:nz + 1, j * cin:(j + 1) * cin, :] = (
-                gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
+        if z_up:
+            half = gj.reshape(nz // 2, 1, cin, b_out)
+            even = jax.lax.broadcasted_iota(
+                jnp.int32, (nz // 2, 2, cin, b_out), 1) == 0
+            gj = jnp.where(even, jnp.broadcast_to(
+                half, (nz // 2, 2, cin, b_out)), 0.0)
+        g_scr[1:nz + 1, j * cin:(j + 1) * cin, :] = (
+            gj.reshape(nz, cin, b_out).astype(g_scr.dtype))
 
 
 def _epilogue_val(acc3, epi_refs, *, out_nz, cout, relu, dtype):
