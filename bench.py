@@ -162,8 +162,20 @@ def bench_train(tiny: bool):
         lambda p, s, o, d: train_step(d, (p, s, o), None)[0],
         params, stats, opt_state, data)
     flops = single / b if single else None
-    carry, losses = step(params, stats, opt_state, data)
-    float(losses.sum())  # scalar fetch: block_until_ready lies on axon
+    pallas_failed = False
+    try:
+        carry, losses = step(params, stats, opt_state, data)
+        float(losses.sum())  # scalar fetch: block_until_ready lies on axon
+    except Exception as e:  # noqa: BLE001 — same containment as main()
+        import sys
+        print(f"bench_train: pallas path FAILED ({type(e).__name__}): "
+              f"{str(e)[:500]}\n-> retrying on the XLA reference path",
+              file=sys.stderr, flush=True)
+        pallas_failed = True
+        os.environ["DETZERO_FORCE_PALLAS"] = "0"
+        step = jax.jit(fused, donate_argnums=(0, 2))
+        carry, losses = step(params, stats, opt_state, data)
+        float(losses.sum())
     params, stats, opt_state = carry
     n_iter = 2 if tiny else 3
     t0 = time.perf_counter()
@@ -183,6 +195,8 @@ def bench_train(tiny: bool):
     if flops:
         rec["flops_per_step"] = round(flops)
         rec["mfu"] = round(flops / (ms_per_step / 1e3) / peak, 4)
+    if pallas_failed:
+        rec["pallas_failed"] = True
     print(json.dumps(rec))
 
 
@@ -301,8 +315,24 @@ def main():
     # carry scalar forces a device->host copy that cannot complete early.
     step = jax.jit(fused)
     t_w0 = time.perf_counter()
-    out = step(*args)
-    float(out[0])  # compile + warmup execution (carry scalar fetch)
+    pallas_failed = False
+    try:
+        out = step(*args)
+        float(out[0])  # compile + warmup execution (carry scalar fetch)
+    except Exception as e:  # noqa: BLE001 — containment, not control flow
+        # Failure containment (VERDICT r4 weak #2): one kernel's Mosaic
+        # compile error must NOT turn the round's headline into rc=1.
+        # resolve_use_pallas reads DETZERO_FORCE_PALLAS at trace time, so a
+        # fresh jit wrapper re-traces onto the XLA reference conv path —
+        # slower, but a green degraded number with the failure flagged.
+        print(f"bench: pallas path FAILED ({type(e).__name__}): "
+              f"{str(e)[:500]}\n-> retrying on the XLA reference path "
+              f"(DETZERO_FORCE_PALLAS=0)", file=sys.stderr, flush=True)
+        pallas_failed = True
+        os.environ["DETZERO_FORCE_PALLAS"] = "0"
+        step = jax.jit(fused)
+        out = step(*args)
+        float(out[0])
     warm_s = time.perf_counter() - t_w0
 
     # adapt iteration count to the remaining wall budget (one warm call costs
@@ -338,6 +368,8 @@ def main():
     }
     if flops_xla:
         rec["flops_xla_cpu_reference"] = round(flops_xla)
+    if pallas_failed:
+        rec["pallas_failed"] = True
     print(json.dumps(rec), flush=True)
 
     # ---- optional extras (stderr only; never delay the headline) ----------

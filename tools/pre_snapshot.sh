@@ -1,0 +1,74 @@
+#!/bin/bash
+# MANDATORY pre-snapshot gate (VERDICT r4 weak #1/#2).
+#
+# Round 4 shipped an untested working-tree kernel rewrite in the final
+# snapshot commit: it failed TPU (Mosaic) compile AND broke gradients, and
+# the entire CPU test suite was structurally blind to both. This gate makes
+# that class of failure impossible to ship:
+#
+#   1. refuses to run while background jobs hold the (1-core) machine;
+#   2. runs the pallas kernel test files on CPU (numerics / interpret parity);
+#   3. runs the EXACT driver bench from a COLD compile cache on the real
+#      backend — the only place Mosaic lowering errors are visible — and
+#      refuses on rc!=0, on a missing JSON line, or on "pallas_failed";
+#   4. compiles+runs the training step on the real backend (backward kernels);
+#   5. runs dryrun_multichip(8) under the driver's timeout.
+#
+# Usage: tools/pre_snapshot.sh            # full gate (~35-45 min)
+#        PRE_SNAPSHOT_FAST=1 tools/...    # skip step 2 (tests) for doc-only
+#                                         # or already-green-suite snapshots
+#
+# RULE (CLAUDE.md): never commit a kernel change after the last time this
+# gate ran green.
+set -u
+cd "$(dirname "$0")/.."
+fail() { echo "PRE-SNAPSHOT GATE: REFUSED — $1" >&2; exit 1; }
+
+# --- 1. machine quiescent -------------------------------------------------
+busy=$(ps aux | grep -E "train_det|train_refine|ladder|pytest|bisect_perf|bench\.py" \
+       | grep -v grep | grep -v pre_snapshot || true)
+[ -n "$busy" ] && { echo "$busy"; fail "background jobs running (wait or stop them)"; }
+
+# --- 2. pallas kernel tests (CPU) ----------------------------------------
+if [ "${PRE_SNAPSHOT_FAST:-0}" != "1" ]; then
+    python -m pytest tests/test_pallas_backbone.py tests/test_pallas_pillar.py \
+        tests/test_fused_eval.py -q || fail "pallas kernel tests failed"
+fi
+
+# --- 3. cold-cache driver bench on the real backend -----------------------
+# (also re-warms .jax_cache for the driver's own run)
+rm -rf .jax_cache
+timeout 2400 python bench.py > /tmp/gate_bench.json
+rc=$?
+cat /tmp/gate_bench.json
+[ $rc -ne 0 ] && fail "bench.py rc=$rc"
+python - <<'EOF' || exit 1
+import json, sys
+try:
+    rec = json.loads(open("/tmp/gate_bench.json").read().strip().splitlines()[-1])
+except Exception as e:
+    print(f"PRE-SNAPSHOT GATE: REFUSED — bench printed no JSON ({e})", file=sys.stderr)
+    sys.exit(1)
+if rec.get("pallas_failed"):
+    print("PRE-SNAPSHOT GATE: REFUSED — bench fell back to the XLA path "
+          "(a pallas kernel failed to compile on the real backend)", file=sys.stderr)
+    sys.exit(1)
+if not rec.get("value", 0) > 0:
+    print("PRE-SNAPSHOT GATE: REFUSED — bench value is not positive", file=sys.stderr)
+    sys.exit(1)
+print(f"gate bench ok: {rec['value']} {rec['unit']}")
+EOF
+[ $? -ne 0 ] && exit 1
+
+# --- 4. training step on the real backend (backward kernels) --------------
+BENCH_TRAIN=1 BENCH_SCAN=2 timeout 2400 python bench.py > /tmp/gate_train.json
+rc=$?
+cat /tmp/gate_train.json
+[ $rc -ne 0 ] && fail "train-step bench rc=$rc"
+grep -q pallas_failed /tmp/gate_train.json && fail "train step fell back to XLA path"
+
+# --- 5. multichip dryrun under the driver timeout --------------------------
+timeout 900 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)" \
+    || fail "dryrun_multichip(8) failed or exceeded 900 s"
+
+echo "PRE-SNAPSHOT GATE: PASSED"
