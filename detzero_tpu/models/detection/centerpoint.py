@@ -49,6 +49,7 @@ class CenterPointNet(nn.Module):
     grid_zyx: tuple = (40, 1504, 1504)
     backbone_channels: Sequence[int] = (16, 32, 64, 128)
     backbone_residual: bool = True
+    backbone_blocks: int = 2
     row_budget: int = 128
     bev_layer_nums: Sequence[int] = (5, 5)
     bev_num_filters: Sequence[int] = (128, 256)
@@ -81,6 +82,7 @@ class CenterPointNet(nn.Module):
             out3d = PallasResBackbone8x(
                 grid_zyx=self.grid_zyx, channels=self.backbone_channels,
                 residual=self.backbone_residual, name="backbone3d",
+                blocks_per_level=self.backbone_blocks,
                 row_budget=self.row_budget,
                 with_multi_scale=self.second_stage, **kw,
             )(voxel_features, plan)
@@ -90,12 +92,14 @@ class CenterPointNet(nn.Module):
             )
             out3d = PillarResBackbone8x(
                 grid_zyx=self.grid_zyx, channels=self.backbone_channels,
-                residual=self.backbone_residual, name="backbone3d", **kw,
+                residual=self.backbone_residual, name="backbone3d",
+                blocks_per_level=self.backbone_blocks, **kw,
             )(voxel_features, plan)
         else:
             out3d = VoxelResBackbone8x(
                 grid_zyx=self.grid_zyx, channels=self.backbone_channels,
-                residual=self.backbone_residual, name="backbone3d", **kw,
+                residual=self.backbone_residual, name="backbone3d",
+                blocks_per_level=self.backbone_blocks, **kw,
             )(voxel_features, plan)
         bev = BaseBEVBackbone(
             layer_nums=self.bev_layer_nums, num_filters=self.bev_num_filters,
@@ -217,6 +221,9 @@ class CenterPoint:
             with_velocity=bool(model_cfg.get("WITH_VELOCITY", True)),
             with_iou=bool(model_cfg.get("WITH_IOU", True)),
             backbone_residual=bool(model_cfg.get("BACKBONE_RESIDUAL", True)),
+            backbone_blocks=int(model_cfg.get("BLOCKS_PER_LEVEL", 2)),
+            bev_layer_nums=tuple(model_cfg.get("BEV_LAYER_NUMS", (5, 5))),
+            bev_num_filters=tuple(model_cfg.get("BEV_NUM_FILTERS", (128, 256))),
             second_stage=self.second_stage,
             roi_budget=int(model_cfg.get("ROI_BUDGET", 128)),
             roi_grid_size=int(model_cfg.get("ROI_GRID_SIZE", 6)),
