@@ -103,12 +103,30 @@ class RefineDatasetBase:
                         rec = dict(rec)
                         rec["_key"] = (p.stem, oid)
                         self.records.append(rec)
+        # GRM/PRM train only on GT-matched tracklets (reference
+        # dataset.py:108-112: unmatched tracks are kept only for CRM, as
+        # negatives). FP tracks dominated the r4 dumps (Vehicle: 1343
+        # tracks, 186 matched) and burned ~86% of every GRM/PRM batch on
+        # zero-weight samples.
+        self._negatives = []
+        if training and self._matched_tracks_only():
+            pos = [r for r in self.records
+                   if np.asarray(r.get("matched", [False])).any()]
+            self._negatives = [r for r in self.records
+                               if not np.asarray(r.get("matched",
+                                                       [False])).any()]
+            self.records = pos
         if training and class_name == "Cyclist":
             self.records = self.records * int(dataset_cfg.get("CYCLIST_REPEAT",
                                                               50))
         if logger:
             logger.info(f"{class_name} {type(self).__name__}: "
-                        f"{len(self.records)} tracks")
+                        f"{len(self.records)} tracks"
+                        + (f" (+{len(self._negatives)} negative)"
+                           if self._negatives else ""))
+
+    def _matched_tracks_only(self) -> bool:
+        return True
 
     def __len__(self):
         return len(self.records)
@@ -135,7 +153,7 @@ class WaymoGeometryDataset(RefineDatasetBase):
             query_num=int(dataset_cfg.get("QUERY_NUM", 3)),
             query_points=int(dataset_cfg.get("QUERY_POINTS", 256)),
             memory_points=int(dataset_cfg.get("MEMORY_POINTS", 4096)),
-            rng=self.rng)
+            training=training, rng=self.rng)
 
     def __getitem__(self, i):
         rec = self.maybe_augment(self.records[i])
@@ -165,39 +183,61 @@ class WaymoPositionDataset(RefineDatasetBase):
         rec = self.maybe_augment(self.records[i])
         s = self.sampler(rec)
         qn = self.sampler.query_num
+        fi = s["frame_idx"]  # original track rows of each query slot
         gt_c = np.zeros((qn, 3), np.float32)
         gt_h = np.zeros(qn, np.float32)
         if "gt_boxes" in rec:
-            gt = rf.boxes_to_init_coords(
-                np.asarray(rec["gt_boxes"], np.float32).reshape(-1, 7),
-                s["init_box"])
-            t = min(len(gt), qn)
-            # RESIDUAL targets vs the input trajectory (reference
-            # target_assign.py:43: center_reg = traj_gt - traj) — the
-            # network refines deltas, decode adds the input box back
-            gt_c[:t] = gt[:t, :3] - s["local_boxes"][:t, :3]
-            dh = gt[:t, 6] - s["local_boxes"][:t, 6]
-            gt_h[:t] = np.arctan2(np.sin(dh), np.cos(dh))
+            gt_rows = np.asarray(rec["gt_boxes"],
+                                 np.float32).reshape(-1, 7)[fi]
+            gt = rf.boxes_to_init_coords(gt_rows, s["init_box"])
+            # center: RESIDUAL vs the input trajectory (reference
+            # target_assign.py:44 center_reg = traj_gt - traj; decode adds
+            # the input box back). heading: ABSOLUTE gt heading in init
+            # coords (reference target_assign.py:50 bins traj_gt[:, 6]
+            # directly and decode_torch:102 never adds the input heading
+            # back) — the input headings carry per-frame pi-flips, so a
+            # heading RESIDUAL target is bimodal frame-to-frame and
+            # unlearnable, while the absolute heading is near-constant
+            # along a track in init coords; the r4 residual-heading PRM
+            # rotated Vehicle/Cyclist boxes off their GT and cratered both
+            # classes' AP
+            gt_c[:] = gt[:, :3] - s["local_boxes"][:, :3]
+            gt_h[:] = np.arctan2(np.sin(gt[:, 6]), np.cos(gt[:, 6]))
         s["gt_centers"] = gt_c
         s["gt_headings"] = gt_h
         s["gt_mask"] = s["pad_mask"] & np.asarray(
             rec.get("matched", np.ones(len(rec["boxes_global"]), bool)),
-            bool)[np.minimum(np.arange(qn), len(rec["boxes_global"]) - 1)]
+            bool)[fi]
         return s
 
 
 @DATASETS.register("WaymoConfidenceDataset")
 class WaymoConfidenceDataset(RefineDatasetBase):
+    """CRM training alternates matched tracklets with random FP tracklets
+    50/50 (reference waymo_confidence_dataset.py:36-46) and samples track
+    frames WITHOUT the matched restriction — every frame carries an honest
+    IoU label (unmatched frames/tracks label as negatives)."""
+
     def __init__(self, dataset_cfg, class_name, training, iou_labels=None, **kw):
         super().__init__(dataset_cfg, class_name, training, **kw)
         self.iou_labels = iou_labels or {}
         self.sampler = rf.PRMSample(
             query_num=int(dataset_cfg.get("QUERY_NUM", 200)),
             query_points=int(dataset_cfg.get("QUERY_POINTS", 256)),
-            memory_points=8, training=training, rng=self.rng)
+            memory_points=8, training=training, matched_only=False,
+            rng=self.rng)
+
+    def __len__(self):
+        if self.training and self._negatives:
+            return len(self.records) * 2
+        return len(self.records)
 
     def __getitem__(self, i):
-        rec = self.records[i]
+        if self.training and self._negatives:
+            rec = (self.records[i // 2] if i % 2 == 0 else
+                   self._negatives[self.rng.randint(len(self._negatives))])
+        else:
+            rec = self.records[i]
         s = self.sampler(rec)
         qn = self.sampler.query_num
         ious = np.full(qn, -1.0, np.float32)
@@ -206,7 +246,9 @@ class WaymoConfidenceDataset(RefineDatasetBase):
         if lab is None and "iou_gt" in rec:
             lab = rec["iou_gt"]
         if lab is not None:
-            t = min(len(lab), qn)
-            ious[:t] = np.asarray(lab, np.float32)[:t]
+            # gather per-slot labels by original track row (training
+            # subsamples frames); padded slots stay -1 (ignored)
+            lab = np.asarray(lab, np.float32)
+            ious[s["pad_mask"]] = lab[s["frame_idx"][s["pad_mask"]]]
         return {"query_pts": s["query_pts"], "pad_mask": s["pad_mask"],
                 "gt_ious": ious}

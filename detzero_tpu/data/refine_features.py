@@ -120,15 +120,39 @@ def pad_track(arrays, lengths_to: int):
     return out, mask
 
 
+def _select_track_frames(t, matched, training, rng, matched_only=True):
+    """Reference frame-selection semantics (waymo_geometry_dataset.py:40-60,
+    waymo_position_dataset.py:44-60): training restricts an object track to
+    its GT-MATCHED frames (KF-coast / FP frames carry no target signal and
+    the reference drops them outright) and random-subsamples between
+    min(5, T_m) and T_m of them (track-length augmentation); eval keeps
+    every frame (outputs must map 1:1 onto the track). CRM passes
+    matched_only=False: its IoU labels are honest on every frame
+    (waymo_confidence_dataset.py:69 samples range(traj_len))."""
+    idx = np.arange(t)
+    if not training:
+        return idx
+    if matched_only and matched is not None:
+        m = np.asarray(matched, bool)[:t]
+        if m.any():
+            idx = idx[m]
+    tm = len(idx)
+    k = rng.randint(min(5, tm), tm + 1) if tm > 1 else tm
+    sel = rng.choice(tm, size=max(k, 1), replace=False)
+    return idx[np.sort(sel)]
+
+
 class GRMSample:
     """Assemble one GRM training/eval sample from a daemon object record
     (waymo_geometry_dataset.py:26-154 semantics)."""
 
     def __init__(self, query_num=3, query_points=256, memory_points=4096,
-                 rng=None):
+                 training=False, matched_only=True, rng=None):
         self.query_num = query_num
         self.query_points = query_points
         self.memory_points = memory_points
+        self.training = training
+        self.matched_only = matched_only
         self.rng = rng or np.random
 
     def __call__(self, obj):
@@ -138,6 +162,11 @@ class GRMSample:
         boxes = np.asarray(obj["boxes_global"], np.float32)
         scores = np.asarray(obj["score"], np.float32)
         pts = obj["pts"]
+        keep = _select_track_frames(len(boxes), obj.get("matched"),
+                                    self.training, self.rng,
+                                    self.matched_only)
+        boxes, scores = boxes[keep], scores[keep]
+        pts = [pts[i] for i in keep]
         order = np.argsort(-scores)[: self.query_num]
         q_feats, q_sizes = [], []
         for qi in range(self.query_num):
@@ -146,17 +175,28 @@ class GRMSample:
                 np.asarray(pts[i]) if len(pts[i]) else np.zeros((0, 4), np.float32),
                 boxes[i], scores[i], self.query_points, self.rng))
             q_sizes.append(boxes[i, 3:6])
-        # memory: all frames' points in the best box's local frame
-        best = order[0]
-        all_pts = [np.asarray(p, np.float32) for p in pts if len(p)]
-        if all_pts:
-            cat = np.concatenate(all_pts)
-            mem, ok = sample_points(cat, self.memory_points, self.rng)
-            local = points_to_box_local(mem, boxes[best])
-            inten = mem[:, 3:4] if mem.shape[1] > 3 else np.zeros((len(mem), 1), np.float32)
-            mem_feats = np.concatenate([
-                local, inten, p2s_features(local, boxes[best, 3:6]),
-                np.full((len(mem), 1), scores[best], np.float32)], axis=1)
+        # memory: the track-REGISTERED point cloud — each frame's points in
+        # its OWN box's local frame before concatenation (reference
+        # waymo_geometry_dataset.py:77-78 local_coords_transform(pts, traj):
+        # per-frame registration is what makes the aggregated cloud a dense
+        # full view of the rigid object; transforming the global concat by
+        # one box smears every MOVING object along its trajectory and the
+        # memory carries no shape signal — the r4 GRM mode-collapsed to the
+        # class-mean size exactly this way)
+        mem_rows = []
+        for i in range(len(boxes)):
+            p = np.asarray(pts[i], np.float32)
+            if not len(p):
+                continue
+            local = points_to_box_local(p, boxes[i])
+            inten = (p[:, 3:4] if p.shape[1] > 3
+                     else np.zeros((len(p), 1), np.float32))
+            mem_rows.append(np.concatenate([
+                local, inten, p2s_features(local, boxes[i, 3:6]),
+                np.full((len(p), 1), scores[i], np.float32)], axis=1))
+        if mem_rows:
+            cat = np.concatenate(mem_rows)
+            mem_feats, _ = sample_points(cat, self.memory_points, self.rng)
             mem_mask = np.ones(self.memory_points, bool)
         else:
             mem_feats = np.zeros((self.memory_points, 11), np.float32)
@@ -173,17 +213,23 @@ class PRMSample:
     """Assemble one PRM sample (waymo_position_dataset.py:31-184 semantics)."""
 
     def __init__(self, query_num=200, query_points=256, memory_points=48,
-                 training=True, rng=None):
+                 training=True, matched_only=True, rng=None):
         self.query_num = query_num
         self.query_points = query_points
         self.memory_points = memory_points
         self.training = training
+        self.matched_only = matched_only
         self.rng = rng or np.random
 
     def __call__(self, obj):
         boxes = np.asarray(obj["boxes_global"], np.float32)
         scores = np.asarray(obj["score"], np.float32)
         pts = obj["pts"]
+        keep = _select_track_frames(len(boxes), obj.get("matched"),
+                                    self.training, self.rng,
+                                    self.matched_only)
+        boxes, scores = boxes[keep], scores[keep]
+        pts = [pts[i] for i in keep]
         t = len(boxes)
         init_idx = (self.rng.randint(t) if self.training else t // 2)
         init_box = boxes[init_idx]
@@ -206,9 +252,15 @@ class PRMSample:
             [local_boxes[i][[0, 1, 2, 6]] for i in range(min(t, self.query_num))],
             self.query_num)
         lb, _ = pad_track(list(local_boxes[: self.query_num]), self.query_num)
+        # original track rows of each query (training may subsample matched
+        # frames) — the dataset gathers gt targets by these indices; padded
+        # rows repeat the last real index (masked out by pad_mask)
+        fi = np.full(self.query_num, keep[-1] if len(keep) else 0, np.int64)
+        fi[: min(t, self.query_num)] = keep[: self.query_num]
         return {
             "query_pts": qp, "query_boxes": qb, "memory_pts": mp,
             "pad_mask": mask, "init_box": init_box, "local_boxes": lb,
+            "frame_idx": fi,
         }
 
 

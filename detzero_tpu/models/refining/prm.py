@@ -100,14 +100,19 @@ def prm_loss(pred, gt_centers, gt_headings, pad_mask, center_weight=1.0,
 def prm_decode(pred, query_boxes=None):
     """Last-layer center + heading per box: (T, 3), (T,).
 
-    RESIDUAL decode (reference target_assign.py:43 'center_reg = traj_gt -
-    traj' and :94 'center_reg + pos_trajectory'): the network predicts
-    deltas against the input trajectory; query_boxes (T, 4) [x, y, z, yaw
-    in init coords] are the anchors added back. Without query_boxes the
-    raw residuals are returned (training/debug)."""
+    Center is a RESIDUAL (reference target_assign.py:44 'center_reg =
+    traj_gt - traj' and decode_torch:97 'center_reg + pos_trajectory'):
+    query_boxes (T, 4) [x, y, z, yaw in init coords] supply the centers
+    added back. Heading is ABSOLUTE in init coords (reference
+    target_assign.py:50 bins traj_gt[:, 6] directly; decode_torch:99-103
+    never adds the input heading): the input trajectory's headings carry
+    per-frame pi-flips, so a heading residual would be a bimodal,
+    unlearnable target, while the absolute heading is near-constant along
+    the track in init coords — heading consistency is PRM's whole job.
+    Without query_boxes the raw center residuals are returned
+    (training/debug)."""
     center = pred["center"][-1]
     heading = decode_heading(pred["heading_logits"][-1], pred["heading_res"][-1])
     if query_boxes is not None:
         center = center + query_boxes[:, :3]
-        heading = heading + query_boxes[:, 3]
     return center, heading

@@ -114,7 +114,13 @@ def prepare_object_data(track_result, frame_points, poses, nlz_col=None,
 
 def _match_gt(boxes, frames, gt_boxes_per_frame, gt_ids_per_frame,
               iou_thresh: float = 0.3):
-    """Per-box GT match flags + matched GT boxes (zeros when unmatched)."""
+    """Per-box GT match flags + best-overlap GT boxes.
+
+    The best-IoU GT box is stored for EVERY row (zeros only when the frame
+    has no GT at all): `matched` gates the refinement targets, but CRM's
+    IoU labels must be honest on unmatched rows too (the reference computes
+    IoU vs the gt trajectory for every frame, generate_iou_gt.py:44-51 —
+    near-misses are its negatives)."""
     matched = np.zeros(len(boxes), bool)
     gts = np.zeros((len(boxes), 7), np.float32)
     for i, (b, f) in enumerate(zip(boxes, frames)):
@@ -123,9 +129,9 @@ def _match_gt(boxes, frames, gt_boxes_per_frame, gt_ids_per_frame,
             continue
         iou = box_np.boxes_iou3d(b[None, :7], g)[0]
         j = int(np.argmax(iou))
+        gts[i] = g[j]
         if iou[j] >= iou_thresh:
             matched[i] = True
-            gts[i] = g[j]
     return gts, matched
 
 
@@ -145,10 +151,11 @@ def generate_iou_gt(obj_records, refined_sizes, refined_centers=None,
             boxes[:, 6] = refined_headings[oid]
         ious = np.full(len(boxes), -1.0, np.float32)
         if "gt_boxes" in rec:
-            m = rec["matched"]
-            if m.any():
-                ious[m] = np.diag(box_np.boxes_iou3d(
-                    boxes[m][:, :7], rec["gt_boxes"][m]))
+            # honest IoU on every row vs the best-overlap GT (reference
+            # generate_iou_gt.py:44-51 diag IoU over the whole track):
+            # zero GT rows (frame had no GT) give IoU 0 — CRM negatives
+            ious[:] = [box_np.boxes_iou3d(b[None, :7], g[None])[0, 0]
+                       for b, g in zip(boxes, rec["gt_boxes"])]
         out[oid] = ious
     return out
 

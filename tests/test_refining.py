@@ -187,3 +187,121 @@ def test_augment_full_track_transforms_gt_consistently():
             out["gt_boxes"][:, 6] - out["boxes_global"][:, 6],
             np.sign(out["boxes_global"][0, 6] / obj["boxes_global"][0, 6])
             * (obj["gt_boxes"][:, 6] - obj["boxes_global"][:, 6]), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# r5 root-cause pins (VERDICT r4 #4: the GRM/PRM ladder collapse)
+# ---------------------------------------------------------------------------
+
+def _moving_box_track(t=8, dims=(4.4, 2.0, 1.6), speed=3.0, seed=0):
+    """Synthetic rigid object moving at `speed` m/frame with surface points
+    sampled in ITS OWN frame each step (what a lidar would see)."""
+    rng = np.random.RandomState(seed)
+    boxes, pts = [], []
+    for i in range(t):
+        c = np.array([1.0 + speed * i, 2.0, 0.5])
+        yaw = 0.3
+        boxes.append([*c, *dims, yaw])
+        # points on the box surface, in the box frame -> world
+        local = rng.uniform(-0.5, 0.5, (64, 3)) * np.asarray(dims)
+        cs, sn = np.cos(yaw), np.sin(yaw)
+        world = local.copy()
+        world[:, 0] = local[:, 0] * cs - local[:, 1] * sn + c[0]
+        world[:, 1] = local[:, 0] * sn + local[:, 1] * cs + c[1]
+        world[:, 2] = local[:, 2] + c[2]
+        pts.append(np.concatenate([world, np.full((64, 1), 0.1)], 1
+                                  ).astype(np.float32))
+    return {"boxes_global": np.asarray(boxes, np.float32),
+            "score": np.linspace(0.9, 0.5, t).astype(np.float32),
+            "pts": pts}
+
+
+def test_grm_memory_registers_moving_object():
+    """The GRM memory must be the track-REGISTERED cloud: each frame's
+    points transformed by its OWN box (reference waymo_geometry_dataset.py
+    :77 local_coords_transform) — NOT the global concat through one box,
+    which smears a moving object along its trajectory (the r4 GRM
+    mode-collapsed to the class-mean size exactly this way)."""
+    from detzero_tpu.data.refine_features import GRMSample
+
+    obj = _moving_box_track(t=8, speed=3.0)
+    s = GRMSample(rng=np.random.RandomState(0))(obj)
+    mem_xyz = s["memory_pts"][:, :3]
+    dims = np.array([4.4, 2.0, 1.6])
+    # registered: every memory point lies within the (half-)box extents;
+    # unregistered smear would spread x over ~24 m of trajectory
+    assert np.all(np.abs(mem_xyz) <= dims / 2 + 1e-4), (
+        np.abs(mem_xyz).max(0), "memory not registered per-frame")
+    # p2s face distances must be consistent with the registered coords
+    assert np.all(s["memory_pts"][:, 4:10] >= -1e-4)
+
+
+def test_prm_decode_heading_is_absolute():
+    """PRM heading decodes ABSOLUTE in init coords (reference
+    target_assign.py:50/decode_torch:99-103): the decoded heading must not
+    depend on the input trajectory's (pi-flip-noisy) headings; only the
+    center adds the query box back."""
+    t = 4
+    pred = {
+        "center": jnp.zeros((1, t, 3)),
+        "heading_logits": jnp.tile(
+            jax.nn.one_hot(jnp.full((t,), 7), ta.NUM_HEADING_BINS) * 10,
+            (1, 1, 1)),
+        "heading_res": jnp.zeros((1, t, ta.NUM_HEADING_BINS)),
+    }
+    qb_a = jnp.zeros((t, 4))
+    qb_b = jnp.concatenate([jnp.ones((t, 3)),
+                            jnp.full((t, 1), np.pi)], axis=1)
+    c_a, h_a = prm_decode(pred, query_boxes=qb_a)
+    c_b, h_b = prm_decode(pred, query_boxes=qb_b)
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_b - c_a), 1.0, atol=1e-6)
+
+
+def test_position_dataset_heading_targets_absolute_and_matched_frames():
+    """Training targets: heading = absolute GT heading in init coords;
+    frame selection restricted to matched rows (reference
+    waymo_position_dataset.py:44-60)."""
+    from detzero_tpu.data.refine_dataset import WaymoPositionDataset
+
+    obj = _moving_box_track(t=8)
+    # detector headings carry pi-flips on odd frames; GT heading constant
+    obj["boxes_global"][1::2, 6] += np.pi
+    gt = obj["boxes_global"].copy()
+    gt[:, 6] = 0.3
+    gt[:, :2] += 0.1
+    obj["gt_boxes"] = gt
+    obj["matched"] = np.array([True, True, False, True,
+                               True, False, True, True])
+    ds = WaymoPositionDataset({"QUERY_NUM": 8, "QUERY_POINTS": 32,
+                               "MEMORY_POINTS": 8, "AUGMENT": False},
+                              "Vehicle", training=True, records=[obj])
+    s = ds[0]
+    m = s["pad_mask"]
+    # only matched rows selected
+    assert np.all(np.asarray(obj["matched"])[s["frame_idx"][m]])
+    # heading target = absolute gt heading in init coords: constant 0.3
+    # minus the init box heading, NOT contaminated by the per-frame flips
+    init_h = s["init_box"][6]
+    expect = np.arctan2(np.sin(0.3 - init_h), np.cos(0.3 - init_h))
+    np.testing.assert_allclose(s["gt_headings"][m], expect, atol=1e-5)
+
+
+def test_confidence_dataset_pos_neg_alternation():
+    """CRM training alternates matched and FP tracklets 50/50 (reference
+    waymo_confidence_dataset.py:36-46) with honest per-frame iou labels."""
+    from detzero_tpu.data.refine_dataset import WaymoConfidenceDataset
+
+    pos = _moving_box_track(t=6, seed=1)
+    pos["matched"] = np.ones(6, bool)
+    pos["iou_gt"] = np.full(6, 0.8, np.float32)
+    neg = _moving_box_track(t=6, seed=2)
+    neg["matched"] = np.zeros(6, bool)
+    neg["iou_gt"] = np.zeros(6, np.float32)
+    ds = WaymoConfidenceDataset({"QUERY_NUM": 6, "QUERY_POINTS": 16,
+                                 "AUGMENT": False}, "Vehicle",
+                                training=True, records=[pos, neg])
+    assert len(ds) == 2  # 1 pos track * 2
+    s0, s1 = ds[0], ds[1]
+    assert s0["gt_ious"][s0["pad_mask"]].max() > 0.5      # pos tracklet
+    assert np.all(s1["gt_ious"][s1["pad_mask"]] == 0.0)   # neg tracklet

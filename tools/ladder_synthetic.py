@@ -131,6 +131,12 @@ def main():
     p.add_argument("--make_refine_data", default=None,
                    help="dump refining records for TRAIN-seed sequences "
                         "to this directory instead of running the ladder")
+    p.add_argument("--relabel_crm", default=None,
+                   help="refine-data dir: recompute each record's iou_gt "
+                        "as the IoU of its GRM/PRM-REFINED boxes vs GT "
+                        "(reference generate_iou_gt.py flow — CRM must "
+                        "score the boxes it will see at inference). "
+                        "Needs --grm/--prm models; rewrites pkls in place")
     p.add_argument("--train_seed", type=int, default=0)
     p.add_argument("--out_md", default="LADDER.md")
     for stage in ("grm", "prm", "crm"):
@@ -164,6 +170,35 @@ def main():
     cfg = cfg_from_yaml_file(args.cfg_file, Config())
     class_names = list(cfg.get("CLASS_NAMES",
                                ["Vehicle", "Pedestrian", "Cyclist"]))
+
+    # ---------------- CRM-relabel mode (no detector needed) -------------
+    if args.relabel_crm:
+        stages = {}
+        for stage in ("grm", "prm"):
+            per_cls = getattr(args, stage)
+            if per_cls:
+                stages[stage] = {}
+                for spec in per_cls:
+                    cls, rest = spec.split("=", 1)
+                    scfg, sck = rest.split(":", 1)
+                    stages[stage][cls] = _load_refine(scfg, sck)
+        from detzero_tpu.pipeline import daemon
+
+        pipe = OffboardPipeline(**stages)
+        root = Path(args.relabel_crm)
+        for cls_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+            for pkl_p in sorted(cls_dir.glob("*.pkl")):
+                with open(pkl_p, "rb") as f:
+                    recs = pickle.load(f)
+                g, c, h, _ = pipe.refine(recs)
+                ious = daemon.generate_iou_gt(recs, g or None, c or None,
+                                              h or None)
+                for oid, rec in recs.items():
+                    rec["iou_gt"] = ious[oid]
+                with open(pkl_p, "wb") as f:
+                    pickle.dump(recs, f)
+                logger.info(f"relabeled {pkl_p} ({len(recs)} tracks)")
+        return
 
     seed = args.train_seed if args.make_refine_data else args.val_seed
     dataset = build_synthetic(cfg, seed, args.n_seq, logger)

@@ -22,6 +22,14 @@ python tools/ladder_synthetic.py --cfg_file "$CFG" --ckpt "$CKPT" \
 echo "== 2/3: per-class GRM/PRM/CRM training (${REFINE_STEPS} steps each)"
 ARGS=()
 for stage in grm prm crm; do
+  if [ "$stage" = crm ]; then
+    # CRM labels = IoU of the GRM/PRM-REFINED boxes vs GT (reference
+    # generate_iou_gt.py: CRM must score the boxes it sees at inference,
+    # so it trains only after GRM/PRM exist)
+    echo "== 2b: relabel CRM iou_gt with refined boxes"
+    python tools/ladder_synthetic.py --cfg_file "$CFG" --ckpt "$CKPT" \
+        --platform cpu --relabel_crm "$WORK/refine_data" "${ARGS[@]}"
+  fi
   ARGS+=("--${stage}")
   for cls in Vehicle Pedestrian Cyclist; do
     python tools/train_refine.py \
