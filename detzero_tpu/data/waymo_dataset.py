@@ -180,11 +180,23 @@ class SyntheticWaymoDataset(DatasetTemplate):
             else:
                 cls = self.class_names[rng.randint(len(self.class_names))]
             base = np.asarray(sizes.get(cls, [2, 2, 2]))
-            vel = rng.uniform(-1.0, 1.0, 2) * (2.0 if cls == "Vehicle" else 0.3)
+            heading = rng.uniform(-np.pi, np.pi)
+            if cls in ("Vehicle", "Cyclist"):
+                # moving rigid objects travel ALONG their heading (the
+                # real-Waymo prior): per-frame points can only pin heading
+                # mod pi (front/back faces are identical), so the full-
+                # circle signal the reference's PRM exploits is the track's
+                # motion direction — drawing velocity independently of
+                # heading (the r4 generator) made heading unrecoverable
+                # and capped APH for every track-level stage
+                speed = rng.uniform(0.0, 2.8 if cls == "Vehicle" else 0.45)
+                vel = speed * np.array([np.cos(heading), np.sin(heading)])
+            else:
+                vel = rng.uniform(-1.0, 1.0, 2) * 0.3
             b = np.concatenate([
                 rng.uniform(-span, span, 2) + vel * fidx * 0.5, [0.0],
                 base * rng.uniform(0.85, 1.15, 3),
-                [rng.uniform(-np.pi, np.pi)],
+                [heading],
             ])
             boxes.append(b)
             names.append(cls)

@@ -280,6 +280,9 @@ class CenterPoint:
             # convs: DETZERO_FORCE_PALLAS=0 (bench._flops_cpu) falls back
             # to the dense segment-sum table, =1 runs the kernel in
             # interpret mode off-TPU (CPU multichip dryrun).
+            # NOTE: read at TRACE time (like DETZERO_FORCE_PALLAS) — an
+            # already-cached jit entry keeps the old path if the env flips
+            # later in the same process; re-jit/retrace to switch (ADVICE r4)
             stream_vfe = (self.backend == "pillar_pallas"
                           and not self.second_stage
                           and ppk.resolve_use_pallas(None)

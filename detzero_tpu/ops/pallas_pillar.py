@@ -545,11 +545,27 @@ def _row_maps(mode, ny_in):
     raise ValueError(mode)
 
 
+_ROWS_WARNED = set()
+
+
 def _pick_rows(ny_out, rows):
-    """Largest divisor of ny_out that is <= rows (and a power of two)."""
+    """Largest power-of-two divisor of ny_out that is <= rows.
+
+    Silently lowering a requested rows= (or DETZERO_CONV_ROWS) would make
+    the perf knob a no-op without signal (ADVICE r4), so the first
+    downgrade per (ny_out, rows) warns once; 'up' mode additionally falls
+    back to the legacy 3-slab path at rows == 1."""
     r = max(1, rows)
     while r > 1 and (ny_out % r or r & (r - 1)):
         r -= 1
+    if r != max(1, rows) and (ny_out, rows) not in _ROWS_WARNED:
+        _ROWS_WARNED.add((ny_out, rows))
+        import warnings
+
+        warnings.warn(
+            f"rowpad conv: requested rows={rows} downgraded to {r} for "
+            f"ny_out={ny_out} (needs a power-of-two divisor)",
+            stacklevel=3)
     return r
 
 

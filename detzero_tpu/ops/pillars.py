@@ -86,6 +86,15 @@ def build_pillar_table(points, valid, grid_zyx, voxel_size, pc_range,
     """
     p = points.shape[0]
     nz, ny, nx = grid_zyx
+    # the fused scatter below rides the BEV cell id through a float payload
+    # column in points.dtype — exact only while every id fits the mantissa
+    # (ADVICE r4): enforce statically rather than corrupt silently
+    assert points.dtype == jnp.float32, (
+        f"build_pillar_table needs float32 points (cell ids ride a float "
+        f"payload column), got {points.dtype}")
+    assert ny * nx < (1 << 24), (
+        f"BEV grid {ny}x{nx} overflows the f32-exact integer range of the "
+        f"fused cell-id payload (need ny*nx < 2^24)")
     vs = jnp.asarray(voxel_size, dtype=points.dtype)
     lo = jnp.asarray(pc_range[:3], dtype=points.dtype)
     idx = jnp.floor((points[:, :3] - lo) / vs).astype(jnp.int32)  # xyz order
@@ -710,7 +719,13 @@ def densify_pillars(feats, cells, mask, bev_hw):
     tools/bisect_perf.py densify/scatter stages), so scatter only a rank LUT
     (1 int32 column) and lift the feature rows with a dense gather.  The VJP
     is a pure gather too (cells are unique per live pillar), so neither
-    direction pays a wide scatter."""
+    direction pays a wide scatter.
+
+    PRECONDITION: live pillars have UNIQUE cells (build_pillar_table's
+    sorted-dedup construction guarantees it). Unlike the old scatter-ADD,
+    duplicate live cells would keep only the max-index row here (and the
+    unique_indices=True scatter above is undefined behavior under
+    duplicates) — pinned by tests/test_pillars.py round-trips (ADVICE r4)."""
     return _densify_impl(feats, cells, mask, bev_hw)
 
 

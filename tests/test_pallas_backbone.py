@@ -99,14 +99,16 @@ def test_second_stage_parity(data):
 
 def test_stream_vfe_parity(data, models, monkeypatch):
     """DETZERO_STREAM_VFE=1 (stream_rowpad_feats kernel reduces the sorted
-    point stream straight into the rowpad layout) is bit-compatible with
-    the dense segment-sum table + rowpad_gather path, end to end.
+    point stream straight into the rowpad layout) matches the dense
+    segment-sum table + rowpad_gather path end to end within 1e-4 relative
+    (bit-exactness is only claimed on real TPU hardware, where both paths
+    share the MXU accumulate order; interpret mode reorders).
 
     FORCE_PALLAS=1 so the stream kernel actually runs (interpret mode on
     CPU) — stream VFE follows resolve_use_pallas like the convs, so the
     bench's FORCE_PALLAS=0 FLOP-count trace stays cpu-lowerable."""
     pts, pv, *_ = data
-    _, m_off, v = models  # models fixture builds with the env default (on)
+    _, _, v = models  # models fixture builds with the env default (on)
     monkeypatch.setenv("DETZERO_FORCE_PALLAS", "1")
     monkeypatch.setenv("DETZERO_STREAM_VFE", "0")
     m2 = _build("pillar_pallas")
