@@ -52,65 +52,46 @@ def augment_plan_rowpad(plan, grid_zyx, row_budget: int = 128,
     output grid) and rp_up_nbr (this grid, transpose of the strided conv).
     Returns a NEW list of level dicts (arrays only, vmap-safe).
 
-    On the Pallas path the 10 neighbor maps come from ops/pallas_pillar.
-    rowpad_nbr (row-local rank-by-count over gathered x-coords) instead
-    of build_rowpad_nbr's 16-wide scatters + rank_lut gathers — the XLA
-    build measured 48.8 ms/frame of the 106 ms forward on v5e
-    (tools/bisect_perf.py fg_vox_rowpad).  Bit-identical outputs
-    (tests/test_pallas_pillar.py::test_rowpad_nbr_parity).  All rowpad
-    structures here are GATHERS through rowpad_layout's gidx map; the
-    only scatter left per level is its counts histogram."""
+    The 10 neighbor maps come from ops/pillars.rowpad_nbr_rank — pure-XLA
+    rank-by-count over per-row sorted x-coords, bit-identical to BOTH the
+    pallas kernel (ops/pallas_pillar.rowpad_nbr) and the original 16-wide-
+    scatter build (tests/test_pallas_pillar.py::test_rowpad_nbr_parity /
+    test_rowpad_nbr_rank_parity).  History: the scatter build cost
+    48.8 ms/frame (r3), the per-row pallas kernel 6-7 ms (r4: ~0.9 us x
+    6768 grid steps over 10 invocations), the fused XLA broadcast-compare
+    ~2-3 ms (r5) — and it runs everywhere, so the CPU multichip dryrun no
+    longer pays interpret-mode for plan building.  All rowpad structures
+    here are GATHERS through rowpad_layout's gidx map; the only scatter
+    left per level is its counts histogram."""
     grids = plan_grids(grid_zyx)
     b = row_budget
-    pallas_nbr = ppk.resolve_use_pallas(use_pallas)
-    interp = not ppk._on_tpu()
     out = [dict(entry) for entry in plan[:4]] + [dict(plan[4])]
     level_aux = []
     for lvl in range(4):
         nz, ny, nx = grids[lvl]
         e = out[lvl]
         lay = pillars.rowpad_layout(
-            e["cells"], e["mask"], (ny, nx), b,
-            with_rank_lut=not pallas_nbr)
+            e["cells"], e["mask"], (ny, nx), b, with_rank_lut=False)
         slot, keep = lay["slot"], lay["keep"]
         gidx, gvalid = lay["gidx"], lay["gvalid"]
         e["rp_slot"], e["rp_keep"] = slot, keep
         e["rp_gidx"], e["rp_gvalid"] = gidx, gvalid
         e["rp_zmask"] = pillars.rowpad_gather(
             e["zmask"].astype(jnp.int8), gidx, gvalid, slot, keep) > 0
-        if pallas_nbr:
-            xq = pillars.rowpad_xcoords(
-                e["coords2d"][:, 1], gidx, gvalid, ppk.NBR_BIG)
-            e["rp_nbr"] = ppk.rowpad_nbr(xq, xq, mode="subm",
-                                         interpret=interp)
-            level_aux.append((slot, keep, xq, (nz, ny, nx)))
-        else:
-            e["rp_nbr"] = pillars.build_rowpad_nbr(
-                e["coords2d"], e["mask"], slot, keep, lay["rank_lut"],
-                (ny, nx), ny, b, b, mode="subm")
-            level_aux.append((slot, keep, lay["rank_lut"], (nz, ny, nx)))
+        xq = pillars.rowpad_xcoords(
+            e["coords2d"][:, 1], gidx, gvalid, ppk.NBR_BIG)
+        e["rp_nbr"] = pillars.rowpad_nbr_rank(xq, xq, mode="subm",
+                                              big=ppk.NBR_BIG)
+        level_aux.append((slot, keep, xq, (nz, ny, nx)))
     for lvl in range(3):
-        nz, ny, nx = level_aux[lvl][3]
-        onz, ony, onx = level_aux[lvl + 1][3]
-        slot_i, keep_i, aux_i, _ = level_aux[lvl]
-        slot_o, keep_o, aux_o, _ = level_aux[lvl + 1]
-        e_o = out[lvl + 1]
-        if pallas_nbr:
-            # forward strided conv: output slots match input cells 2y+dy;
-            # transpose: input slots match output cells (y+dy)//2
-            out[lvl]["rp_down_nbr"] = ppk.rowpad_nbr(
-                aux_o, aux_i, mode="down", interpret=interp)
-            out[lvl]["rp_up_nbr"] = ppk.rowpad_nbr(
-                aux_i, aux_o, mode="up", interpret=interp)
-            continue
-        # forward strided conv: output slots gather input cells 2y+dy
-        out[lvl]["rp_down_nbr"] = pillars.build_rowpad_nbr(
-            e_o["coords2d"], e_o["mask"], slot_o, keep_o, aux_i, (ny, nx),
-            ony, b, b, mode="down")
-        # transpose: input slots gather output cells (y+dy)//2
-        out[lvl]["rp_up_nbr"] = pillars.build_rowpad_nbr(
-            out[lvl]["coords2d"], out[lvl]["mask"], slot_i, keep_i, aux_o,
-            (ony, onx), ny, b, b, mode="up")
+        aux_i = level_aux[lvl][2]
+        aux_o = level_aux[lvl + 1][2]
+        # forward strided conv: output slots match input cells 2y+dy;
+        # transpose: input slots match output cells (y+dy)//2
+        out[lvl]["rp_down_nbr"] = pillars.rowpad_nbr_rank(
+            aux_o, aux_i, mode="down", big=ppk.NBR_BIG)
+        out[lvl]["rp_up_nbr"] = pillars.rowpad_nbr_rank(
+            aux_i, aux_o, mode="up", big=ppk.NBR_BIG)
     return out
 
 

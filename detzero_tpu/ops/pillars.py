@@ -666,6 +666,59 @@ def _nbr_scatter(vals, slot, keep, ny_out, b_out, b_in, nbr_rows):
     return jnp.transpose(flat.reshape(ny_out, b_out, nbr_rows), (0, 2, 1))
 
 
+def rowpad_nbr_rank(xq_rp, x_in, mode="subm", nbr_rows=16, big=1 << 28):
+    """Neighbor-rank tensor from per-row sorted x-coords — pure XLA.
+
+    Same contract (bit-identical output) as ops/pallas_pillar.rowpad_nbr:
+    xq_rp (ny_out, B_out) / x_in (ny_in, B_in) int32 x-coords with `big`
+    filling empty slots; returns (ny_out, nbr_rows, B_out) int32 tap ranks
+    (>= B_in when absent).  The rank of neighbor x' inside its target row
+    is the count of strictly-smaller x-coords (rows hold unique sorted x).
+
+    The (ny, B_in, B_out) broadcast compare fuses into its row-sum on TPU
+    (measured 1.0 ms vs the per-row pallas kernel's 1.36 at L0 — the
+    kernel pays ~0.9 us/grid-step x ny rows x 10 invocations per plan),
+    runs everywhere (no Mosaic/interpret path needed in the multichip
+    dryrun), and replaces both the pallas kernel and the 16-wide-scatter
+    XLA build on the FORCE_PALLAS=0 path."""
+    ny_out, b_out = xq_rp.shape
+    ny_in, b_in = x_in.shape
+    i = jnp.arange(ny_out)
+    qvalid = xq_rp < big
+    rows = []
+    for j in range(9):
+        dy, dx = j // 3 - 1, j % 3 - 1
+        pok = None
+        if mode == "subm":
+            xp = xq_rp + dx
+            src = i + dy
+        elif mode == "down":
+            xp = 2 * xq_rp + dx
+            src = 2 * i + dy
+        elif mode == "up":
+            num = xq_rp + dx + 2          # >= 1: trunc div == floor div
+            xp = num // 2 - 1
+            pok = (num % 2) == 0
+            src = i + dy
+        else:
+            raise ValueError(mode)
+        if mode == "up":
+            rv = (src >= 0) & (src % 2 == 0) & (src // 2 < ny_in)
+            xt = x_in[jnp.clip(src // 2, 0, ny_in - 1)]
+        else:
+            rv = (src >= 0) & (src < ny_in)
+            xt = x_in[jnp.clip(src, 0, ny_in - 1)]
+        lt = (xt[:, :, None] < xp[:, None, :]).sum(axis=1)       # (ny, B_out)
+        fnd = (xt[:, :, None] == xp[:, None, :]).any(axis=1) & qvalid
+        if pok is not None:
+            fnd = fnd & pok
+        fnd = fnd & rv[:, None]
+        rows.append(jnp.where(fnd, lt, b_in).astype(jnp.int32))
+    out = jnp.stack(rows, axis=1)
+    pad = jnp.full((ny_out, nbr_rows - 9, b_out), b_in, jnp.int32)
+    return jnp.concatenate([out, pad], axis=1)
+
+
 def build_rowpad_nbr(coords2d, mask, slot, keep, in_rank_lut, in_bev_hw,
                      ny_out, b_out, b_in, mode="subm", nbr_rows=16):
     """Neighbor-rank tensor for ops/pallas_pillar.rowpad_conv.

@@ -194,14 +194,18 @@ def test_sliding_matches_halo(geom):
 
 
 def test_rowpad_nbr_parity():
-    """All 10 neighbor maps of a real plan, bit-identical between the
-    scatter-based XLA build and the row-local Pallas kernel (interpret)."""
+    """All 10 neighbor maps of a real plan, bit-identical across THREE
+    builders: the scatter-based XLA build (build_rowpad_nbr), the row-local
+    Pallas kernel (rowpad_nbr, interpret), and the fused-XLA rank-by-count
+    (rowpad_nbr_rank — the production path since r5)."""
     from detzero_tpu.models.detection.backbone3d_pallas import (
         augment_plan_rowpad,
     )
     from detzero_tpu.models.detection.backbone3d_pillar import (
         build_pillar_plan,
     )
+    from detzero_tpu.models.detection.backbone3d import plan_grids
+    from detzero_tpu.ops import pallas_pillar as ppk
     from detzero_tpu.ops import pillars
 
     rng = np.random.RandomState(3)
@@ -214,25 +218,48 @@ def test_rowpad_nbr_parity():
         (-6.4, -6.4, -2.0, 6.4, 6.4, 2.0), 512)
     plan = build_pillar_plan(table, grid, (512, 256, 128, 64),
                              with_centroids=False, with_gather_maps=False)
+    grids = plan_grids(grid)
     # row_budget 8 << row occupancy so the drop-overflow branch is hit too
     for b in (8, 128):
-        ref = augment_plan_rowpad(plan, grid, b, use_pallas=False)
-        new = augment_plan_rowpad(plan, grid, b, use_pallas=True)
+        prod = augment_plan_rowpad(plan, grid, b)
+        aux = []
         for lvl in range(4):
-            for key in ("rp_nbr", "rp_down_nbr", "rp_up_nbr"):
-                if key not in ref[lvl]:
-                    continue
-                r = np.asarray(ref[lvl][key])
-                n = np.asarray(new[lvl][key])
-                # absent taps: XLA writes b_in, the kernel b_in too; any
-                # value >= b_in is "absent" for the conv — normalize
-                r = np.minimum(r, b)
-                n = np.minimum(n, b)
-                assert (r == n).all(), (lvl, key, b,
-                                        np.argwhere(r != n)[:5])
+            nz, ny, nx = grids[lvl]
+            e = plan[lvl]
+            lay = pillars.rowpad_layout(e["cells"], e["mask"], (ny, nx), b,
+                                        with_rank_lut=True)
+            xq = pillars.rowpad_xcoords(e["coords2d"][:, 1], lay["gidx"],
+                                        lay["gvalid"], ppk.NBR_BIG)
+            aux.append((e, lay, xq, (ny, nx)))
+
+        def check(prod_arr, kern_arr, scat_arr, tag):
+            p_, k_, s_ = (np.minimum(np.asarray(a), b)
+                          for a in (prod_arr, kern_arr, scat_arr))
+            assert (p_ == k_).all(), (tag, "rank vs kernel",
+                                      np.argwhere(p_ != k_)[:5])
+            assert (p_ == s_).all(), (tag, "rank vs scatter",
+                                      np.argwhere(p_ != s_)[:5])
+
         for lvl in range(4):
-            assert (np.asarray(ref[lvl]["rp_slot"])
-                    == np.asarray(new[lvl]["rp_slot"])).all()
+            e, lay, xq, (ny, nx) = aux[lvl]
+            kern = ppk.rowpad_nbr(xq, xq, mode="subm", interpret=True)
+            scat = pillars.build_rowpad_nbr(
+                e["coords2d"], e["mask"], lay["slot"], lay["keep"],
+                lay["rank_lut"], (ny, nx), ny, b, b, mode="subm")
+            check(prod[lvl]["rp_nbr"], kern, scat, ("subm", lvl, b))
+        for lvl in range(3):
+            e_i, lay_i, xq_i, (ny, nx) = aux[lvl]
+            e_o, lay_o, xq_o, (ony, onx) = aux[lvl + 1]
+            kern = ppk.rowpad_nbr(xq_o, xq_i, mode="down", interpret=True)
+            scat = pillars.build_rowpad_nbr(
+                e_o["coords2d"], e_o["mask"], lay_o["slot"], lay_o["keep"],
+                lay_i["rank_lut"], (ny, nx), ony, b, b, mode="down")
+            check(prod[lvl]["rp_down_nbr"], kern, scat, ("down", lvl, b))
+            kern = ppk.rowpad_nbr(xq_i, xq_o, mode="up", interpret=True)
+            scat = pillars.build_rowpad_nbr(
+                e_i["coords2d"], e_i["mask"], lay_i["slot"], lay_i["keep"],
+                lay_o["rank_lut"], (ony, onx), ny, b, b, mode="up")
+            check(prod[lvl]["rp_up_nbr"], kern, scat, ("up", lvl, b))
 
 
 def test_rowpad_gather_parity():

@@ -66,6 +66,9 @@ rc=$?
 cat /tmp/gate_train.json
 [ $rc -ne 0 ] && fail "train-step bench rc=$rc"
 grep -q pallas_failed /tmp/gate_train.json && fail "train step fell back to XLA path"
+# judged surface for the training-step number (VERDICT r4 #7): commit the
+# measurement the gate just made instead of leaving it in prose
+cp /tmp/gate_train.json BENCH_TRAIN.json
 
 # --- 5. multichip dryrun under the driver timeout --------------------------
 timeout 900 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)" \
