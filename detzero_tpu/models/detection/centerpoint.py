@@ -306,17 +306,30 @@ class CenterPoint:
                                                self.row_budget)
                 return table, plan
 
+            nz0, ny0 = self.grid_zyx[0], self.grid_zyx[1]
+
+            def stream_feats(s):
+                return ppk.stream_rowpad_feats(
+                    s["payload"], s["meta"], s["wstart"], nz=nz0,
+                    ny=ny0, row_budget=self.row_budget,
+                    out_dtype=self.net.dtype,
+                    interpret=not ppk._on_tpu())
+
+            if points.shape[0] == 1:
+                # batch-1 fast path: the vmapped scatters in the plan build
+                # (rowpad_layout counts, build_row_lut, segment ops) lower
+                # ~3 ms/frame worse as batched scatters on TPU even with a
+                # unit batch dim — run unbatched and re-add the axis
+                table, plan = one(points[0], points_valid[0])
+                if stream_vfe:
+                    rp_feats = stream_feats(table.pop("stream"))
+                    plan[0]["rp_feats"] = rp_feats
+                return jax.tree.map(lambda x: x[None], (table, plan))
             table, plan = jax.vmap(one)(points, points_valid)
             if stream_vfe:
-                stream = table.pop("stream")
-                nz0 = self.grid_zyx[0]
-                ny0 = self.grid_zyx[1]
+                # the pallas kernel cannot trace under vmap: map it
                 plan[0]["rp_feats"] = jax.lax.map(
-                    lambda s: ppk.stream_rowpad_feats(
-                        s["payload"], s["meta"], s["wstart"], nz=nz0,
-                        ny=ny0, row_budget=self.row_budget,
-                        out_dtype=self.net.dtype,
-                        interpret=not ppk._on_tpu()), stream)
+                    stream_feats, table.pop("stream"))
             return table, plan
         table = jax.vmap(self.voxelize)(points, points_valid)
         plan = jax.vmap(self.build_plan)(table)
