@@ -16,6 +16,7 @@ identical outputs from identical params (tests/test_pillars.py).
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Sequence
 
 import jax
@@ -38,6 +39,20 @@ def build_pillar_plan(table, grid_zyx, capacities: Sequence[int],
     from plan_grids(grid_zyx).
     """
     grids = plan_grids(grid_zyx)
+    # The dense (ny*nx) row LUT is consumed only by the XLA gather backbone
+    # (subm/down gather maps) and the PDV second stage (voxel_query_pillar
+    # probe + centroid downsample).  The flagship pallas path selects by
+    # per-row RANK (augment_plan_rowpad), and downsample_pillars has a
+    # LUT-free principal route (sorted run-OR payload) that skips the 4
+    # dense scatters.  Measured on v5e (r5): ISOLATED plan build 18.7 ->
+    # 11.3 ms/frame, but the FUSED forward got ~2 ms SLOWER (14.67 ->
+    # 14.25 f/s headline, clean box, 2 runs) — XLA evidently overlaps the
+    # LUT scatters in the full graph.  Default therefore stays on the LUT
+    # route; DETZERO_LUTFREE_PLAN=1 flips it (trace-time read, like
+    # DETZERO_STREAM_VFE — retrace to switch).
+    lutfree = _os.environ.get("DETZERO_LUTFREE_PLAN", "0") == "1"
+    need_lut = (with_gather_maps or with_centroids
+                or site_mode != "principal" or not lutfree)
     levels = []
     cur = {k: table[k] for k in ("cells", "coords2d", "mask", "zmask")}
     if with_centroids:
@@ -46,10 +61,11 @@ def build_pillar_plan(table, grid_zyx, capacities: Sequence[int],
     for lvl in range(4):
         nz, ny, nx = grids[lvl]
         lut = cur.pop("lut", None)
-        if lut is None:
+        if lut is None and need_lut:
             lut = pillars.build_row_lut(cur["cells"], cur["mask"], (ny, nx))
         entry = dict(cur)
-        entry["lut"] = lut  # PDV voxel_query_pillar probes through this
+        if lut is not None:
+            entry["lut"] = lut  # PDV voxel_query_pillar probes through this
         if with_gather_maps:
             # (MP, 9) global-row gather maps: only the XLA (gather-based)
             # backbone uses these; the fused-pallas backend selects by
@@ -62,8 +78,9 @@ def build_pillar_plan(table, grid_zyx, capacities: Sequence[int],
             nxt = pillars.downsample_pillars(
                 cur, (ny, nx), nz, capacities[lvl + 1], site_mode=site_mode,
                 in_lut=lut)
-            out_lut = pillars.build_row_lut(nxt["cells"], nxt["mask"],
-                                            (ony, onx))
+            out_lut = (pillars.build_row_lut(nxt["cells"], nxt["mask"],
+                                             (ony, onx))
+                       if need_lut else None)
             if with_gather_maps:
                 d_idx, d_found = pillars.build_down_neighbors(
                     lut, nxt["coords2d"], nxt["mask"], (ny, nx))
@@ -72,8 +89,9 @@ def build_pillar_plan(table, grid_zyx, capacities: Sequence[int],
                 entry["down_idx"], entry["down_found"] = d_idx, d_found
                 entry["down_idx_t"], entry["down_found_t"] = dt_idx, dt_found
             nxt_level = {"cells": nxt["cells"], "coords2d": nxt["coords2d"],
-                         "mask": nxt["mask"], "zmask": nxt["zmask"],
-                         "lut": out_lut}
+                         "mask": nxt["mask"], "zmask": nxt["zmask"]}
+            if out_lut is not None:
+                nxt_level["lut"] = out_lut
             if with_centroids:
                 nxt_level["centroids"] = _downsample_centroids_pillar(
                     cur["centroids"], cur["zmask"], cur, nxt,

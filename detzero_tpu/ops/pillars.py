@@ -288,10 +288,20 @@ def build_down_transpose(out_lut, in_coords2d, in_mask, out_bev_hw):
 # Downsampled pillar sets
 # ---------------------------------------------------------------------------
 
-def _unique_capped_cells(cand, capacity):
+def _unique_capped_cells(cand, capacity, payload=None):
     """Sorted-unique of an INVALID-padded candidate vector under a static
-    budget (same contract as ops/sparse._unique_capped)."""
-    s = jnp.sort(cand)
+    budget (same contract as ops/sparse._unique_capped).
+
+    With `payload` (int32, >= 0, same length), additionally returns the
+    bitwise-OR of the payload over each unique value's duplicate run —
+    REQUIRES runs of length <= 4 (true for principal-site downsampling:
+    a parent cell has at most 4 distinct BEV children).  The OR rides the
+    sort as a second operand, so the whole reduction is one unstable
+    2-operand sort + 2 shifted OR passes + 1 segment_max (no dense LUT)."""
+    if payload is None:
+        s = jnp.sort(cand)
+    else:
+        s, p = jax.lax.sort((cand, payload), num_keys=1, is_stable=False)
     first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
     first = first & (s != INVALID_ID)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
@@ -301,7 +311,21 @@ def _unique_capped_cells(cand, capacity):
         jnp.where(s != INVALID_ID, s, INVALID_ID), seg,
         num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
     mask = jnp.arange(capacity) < n
-    return jnp.where(mask, out, INVALID_ID), mask, n
+    cells = jnp.where(mask, out, INVALID_ID)
+    if payload is None:
+        return cells, mask, n
+    # run-OR over duplicates: after d=1 row i covers [i, i+1]; after d=2,
+    # [i, i+3] — so each run's FIRST row holds the full OR (run <= 4), and
+    # every later row holds a bit-subset, making segment_max == that OR.
+    for d in (1, 2):
+        same = jnp.concatenate([s[:-d] == s[d:],
+                                jnp.zeros((d,), bool)])
+        shifted = jnp.concatenate([p[d:], jnp.zeros((d,), p.dtype)])
+        p = jnp.where(same, p | shifted, p)
+    por = jax.ops.segment_max(
+        jnp.where(s != INVALID_ID, p, 0), seg,
+        num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
+    return cells, mask, n, jnp.where(mask, por, 0)
 
 
 def downsample_pillars(table, in_bev_hw, in_nz, out_capacity,
@@ -313,12 +337,41 @@ def downsample_pillars(table, in_bev_hw, in_nz, out_capacity,
     unique(floor(coords/2)) the detector trains with (ops/sparse.py default).
     site_mode "union": exact spconv semantics — occupied iff the 3x3x3
     gather window around (2zo,2yo,2xo) touches any occupied input voxel.
+
+    in_lut=None with "principal" takes the LUT-FREE route: the z-pair-
+    reduced occupancy rides the unique sort as packed int32 bits and is
+    OR-reduced along each parent's <= 4-child run (_unique_capped_cells
+    payload) — no dense (ny*nx) scatter anywhere.  Bit-identical to the
+    LUT route (tests/test_pillars.py::test_downsample_lutfree_parity).
     """
     ny, nx = in_bev_hw
     ony, onx = -(-ny // 2), -(-nx // 2)
     onz = -(-in_nz // 2)
     cells, mask, zmask = table["cells"], table["mask"], table["zmask"]
     y, x = cells // nx, cells % nx
+
+    if site_mode == "principal" and in_lut is None:
+        # LUT-free principal route (flagship pallas path)
+        assert onz < 31, "z occupancy bits must fit an int32 payload"
+        cand = jnp.where(mask, (y // 2) * onx + x // 2, INVALID_ID)
+        pad = in_nz + (-in_nz) % 2
+        zm = jnp.pad(zmask, ((0, 0), (0, pad - in_nz)))
+        zhalf = zm.reshape(zm.shape[0], pad // 2, 2).any(-1)[:, :onz]
+        weights = (jnp.int32(1) << jnp.arange(onz, dtype=jnp.int32))
+        bits = (zhalf.astype(jnp.int32) * weights).sum(1, dtype=jnp.int32)
+        bits = jnp.where(mask, bits, 0)
+        out_cells, out_mask, n_out, zbits = _unique_capped_cells(
+            cand, out_capacity, payload=bits)
+        out_coords2d = jnp.where(
+            out_mask[:, None],
+            jnp.stack([out_cells // onx, out_cells % onx], 1),
+            0).astype(jnp.int32)
+        zagg = ((zbits[:, None] >> jnp.arange(onz, dtype=jnp.int32)) & 1
+                ).astype(bool) & out_mask[:, None]
+        return {"cells": out_cells.astype(jnp.int32),
+                "coords2d": out_coords2d, "mask": out_mask,
+                "num_pillars": n_out, "zmask": zagg,
+                "bev_hw": (ony, onx), "nz": onz}
 
     if site_mode == "principal":
         cand = jnp.where(mask, (y // 2) * onx + x // 2, INVALID_ID)

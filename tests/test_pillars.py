@@ -135,6 +135,24 @@ def test_downsample_sites_match_sparse(site_mode):
     assert got == want
 
 
+def test_downsample_lutfree_parity():
+    """LUT-free principal downsample (sorted run-OR payload, in_lut=None)
+    is bit-identical to the dense-LUT route across every output field,
+    including at/over the capacity cliff."""
+    pts, valid = _cloud(seed=11)
+    tab = pillars.build_pillar_table(jnp.asarray(pts), jnp.asarray(valid),
+                                     GRID, VS, RANGE, 512)
+    lut = pillars.build_row_lut(tab["cells"], tab["mask"],
+                                (GRID[1], GRID[2]))
+    for cap in (512, 17, 4):  # roomy, tight, overflowing
+        free = pillars.downsample_pillars(tab, GRID[1:], GRID[0], cap)
+        ref = pillars.downsample_pillars(tab, GRID[1:], GRID[0], cap,
+                                         in_lut=lut)
+        for k in ("cells", "coords2d", "mask", "num_pillars", "zmask"):
+            np.testing.assert_array_equal(np.asarray(free[k]),
+                                          np.asarray(ref[k]), err_msg=k)
+
+
 def _parity_inputs(b=2, n=400):
     rng = np.random.RandomState(7)
     pts = rng.uniform(-6.3, 6.3, (b, n, 5)).astype(np.float32)

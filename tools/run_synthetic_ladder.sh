@@ -12,11 +12,19 @@ WORK=${3:-output/ladder}
 TRAIN_SEQ=${TRAIN_SEQ:-24}
 VAL_SEQ=${VAL_SEQ:-8}
 REFINE_STEPS=${REFINE_STEPS:-1500}
+# Detector-inference phases (dump + eval) platform. "cpu" is the data-free
+# default; on a live-TPU box set DET_PLATFORM="" to ride the tunnel — the
+# r4 CPU dump cost ~46 s/frame (4h56 for 384 frames) vs ~1-2 s/frame on v5e
+# (jitted predict + per-call tunnel dispatch). Host-side phases (tracking,
+# record extraction, refiner training, CRM relabel) stay on CPU either way.
+DET_PLATFORM=${DET_PLATFORM-cpu}
+PLAT_ARGS=()
+[ -n "$DET_PLATFORM" ] && PLAT_ARGS=(--platform "$DET_PLATFORM")
 cd "$(dirname "$0")/.."
 
 echo "== 1/3: refining records from ${TRAIN_SEQ} train sequences"
 python tools/ladder_synthetic.py --cfg_file "$CFG" --ckpt "$CKPT" \
-    --platform cpu --make_refine_data "$WORK/refine_data" \
+    "${PLAT_ARGS[@]}" --make_refine_data "$WORK/refine_data" \
     --n_seq "$TRAIN_SEQ"
 
 echo "== 2/3: per-class GRM/PRM/CRM training (${REFINE_STEPS} steps each)"
@@ -46,5 +54,5 @@ done
 
 echo "== 3/3: 4-stage ladder on ${VAL_SEQ} held-out sequences"
 python tools/ladder_synthetic.py --cfg_file "$CFG" --ckpt "$CKPT" \
-    --platform cpu --n_seq "$VAL_SEQ" --val_seed 1234 "${ARGS[@]}"
+    "${PLAT_ARGS[@]}" --n_seq "$VAL_SEQ" --val_seed 1234 "${ARGS[@]}"
 echo "ladder table appended to LADDER.md"
