@@ -22,9 +22,15 @@ PLAT_ARGS=()
 [ -n "$DET_PLATFORM" ] && PLAT_ARGS=(--platform "$DET_PLATFORM")
 cd "$(dirname "$0")/.."
 
+# DET_BATCH=1 on TPU: the batch-1 predict graph (unbatched plan build) is
+# the bench-validated, compile-cached path; the vmapped batch-4 eval graph
+# hit a pathological >30-min remote compile on v5e.
+DET_BATCH=${DET_BATCH:-4}
+
 echo "== 1/3: refining records from ${TRAIN_SEQ} train sequences"
 python tools/ladder_synthetic.py --cfg_file "$CFG" --ckpt "$CKPT" \
-    "${PLAT_ARGS[@]}" --make_refine_data "$WORK/refine_data" \
+    "${PLAT_ARGS[@]}" --batch_size "$DET_BATCH" \
+    --make_refine_data "$WORK/refine_data" \
     --n_seq "$TRAIN_SEQ"
 
 echo "== 2/3: per-class GRM/PRM/CRM training (${REFINE_STEPS} steps each)"
@@ -54,5 +60,6 @@ done
 
 echo "== 3/3: 4-stage ladder on ${VAL_SEQ} held-out sequences"
 python tools/ladder_synthetic.py --cfg_file "$CFG" --ckpt "$CKPT" \
-    "${PLAT_ARGS[@]}" --n_seq "$VAL_SEQ" --val_seed 1234 "${ARGS[@]}"
+    "${PLAT_ARGS[@]}" --batch_size "$DET_BATCH" \
+    --n_seq "$VAL_SEQ" --val_seed 1234 "${ARGS[@]}"
 echo "ladder table appended to LADDER.md"
