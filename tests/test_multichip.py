@@ -20,8 +20,16 @@ from detzero_tpu.core.mesh import make_mesh
 from detzero_tpu.parallel.trainer import Trainer
 
 
-def test_dryrun_multichip_executes():
+def test_dryrun_multichip_executes(monkeypatch):
     assert len(jax.devices()) >= 8, "conftest must force 8 host devices"
+    # dryrun_multichip setdefault's DETZERO_FORCE_PALLAS=1 for its own
+    # trace; pre-setting it via monkeypatch makes that a no-op and restores
+    # the unset state at teardown — otherwise the flag LEAKS into every
+    # later test in the suite and flips pillar_pallas models to
+    # interpret-mode kernels (test_pallas_backbone's grad-parity tolerance
+    # then fails: bf16 kernel selection vs the XLA f32 reference — the
+    # order-dependent lone failure of the r4 judged suite run).
+    monkeypatch.setenv("DETZERO_FORCE_PALLAS", "1")
     g.dryrun_multichip(8)  # raises on any sharding/compile failure
 
 
