@@ -2,17 +2,27 @@
 
 The reference ships a 1925-LoC interactive open3d GUI
 (utils/detzero_utils/visualize_utils/gui.py: sequence playback, orbit
-camera, per-object inspection). open3d needs a desktop GL stack that
-headless TPU images don't have, so this re-design targets the one runtime
-every environment DOES have: a browser. `export_sequence_html` writes a
-self-contained .html (point clouds base64-embedded as Float32Array,
-renderer in inline vanilla JS — no CDN, works offline) with:
+camera, per-object inspection, attribute colormaps via ColormapEdit
+[gui.py:523], a per-class label LUT with show/hide + color editing via
+LabelLUTEdit [gui.py:443], point-size control and camera presets).
+open3d needs a desktop GL stack that headless TPU images don't have, so
+this re-design targets the one runtime every environment DOES have: a
+browser. `export_sequence_html` writes a self-contained .html (point
+clouds base64-embedded as Float32Array, renderer in inline vanilla JS —
+no CDN, works offline) with:
 
-  * orbit / zoom / pan camera over the 3D cloud (drag / wheel / shift-drag);
+  * orbit / zoom / pan camera over the 3D cloud (drag / wheel /
+    shift-drag) + one-click BEV / front / reset presets;
   * play / pause / speed / frame-slider sequence playback;
-  * predicted boxes colored by class or by track id, GT wireframes in white;
-  * score-threshold slider, GT / pred / points toggles;
-  * click a box to FOLLOW that track id across frames (camera locks on).
+  * point color modes: uniform, height (z), intensity (4th channel when
+    present) through a turbo-style colormap, binned for canvas speed;
+  * point-size control;
+  * per-class show/hide checkboxes and live color pickers (the label-LUT
+    edit), GT wireframes in white; score-threshold slider;
+  * predicted boxes colored by class or by track id; click a box to
+    FOLLOW that track across frames and inspect it (center / dims /
+    heading / score panel);
+  * PNG screenshot download of the current view.
 """
 
 from __future__ import annotations
@@ -29,10 +39,13 @@ CLASS_COLOR_JS = {
 
 
 def _pack_points(points, max_points, rng):
-    pts = np.asarray(points, np.float32)[:, :3]
+    """Pack xyz (+ intensity when a 4th column exists) as base64 f32."""
+    pts = np.asarray(points, np.float32)
+    nch = 4 if pts.ndim == 2 and pts.shape[1] >= 4 else 3
+    pts = pts[:, :nch] if len(pts) else pts.reshape(0, nch)
     if len(pts) > max_points:
         pts = pts[rng.choice(len(pts), max_points, replace=False)]
-    return base64.b64encode(np.ascontiguousarray(pts).tobytes()).decode()
+    return base64.b64encode(np.ascontiguousarray(pts).tobytes()).decode(), nch
 
 
 def _boxes_payload(boxes, names=None, scores=None, ids=None):
@@ -55,8 +68,9 @@ def export_sequence_html(frames, out_path, title="detzero_tpu sequence",
     rng = np.random.RandomState(seed)
     payload = []
     for fr in frames:
-        entry = {"pts": _pack_points(fr.get("points", np.zeros((0, 3))),
-                                     max_points, rng)}
+        pts_b64, nch = _pack_points(fr.get("points", np.zeros((0, 3))),
+                                    max_points, rng)
+        entry = {"pts": pts_b64, "pc": nch}
         if fr.get("boxes") is not None and len(np.asarray(fr["boxes"])):
             entry["det"] = _boxes_payload(fr["boxes"], fr.get("names"),
                                           fr.get("scores"),
@@ -108,11 +122,16 @@ _TEMPLATE = r"""<!DOCTYPE html>
  body{margin:0;background:#0b0e14;color:#cdd6e4;font:13px system-ui,sans-serif;overflow:hidden}
  #hud{position:fixed;top:8px;left:8px;background:#141a26cc;border:1px solid #2a3550;
       border-radius:8px;padding:10px 12px;line-height:1.9;user-select:none;z-index:2}
- #hud input[type=range]{vertical-align:middle;width:130px}
- #hud button{background:#22304d;color:#cdd6e4;border:1px solid #3a4a70;border-radius:5px;
+ #hud input[type=range]{vertical-align:middle;width:110px}
+ #hud input[type=color]{width:18px;height:18px;border:none;background:none;padding:0;
+      vertical-align:middle;cursor:pointer}
+ #hud button,select{background:#22304d;color:#cdd6e4;border:1px solid #3a4a70;border-radius:5px;
       padding:2px 10px;cursor:pointer;margin-right:4px}
  #hud button:hover{background:#2c3d63}
  #info{position:fixed;bottom:8px;left:8px;color:#8494b4;z-index:2}
+ #inspect{position:fixed;top:8px;right:8px;background:#141a26cc;border:1px solid #2a3550;
+      border-radius:8px;padding:10px 12px;line-height:1.6;z-index:2;display:none;
+      font-family:ui-monospace,monospace;font-size:12px;min-width:190px}
  canvas{display:block}
  .sw{display:inline-block;width:10px;height:10px;border-radius:2px;margin:0 4px -1px 8px}
 </style></head><body>
@@ -124,32 +143,63 @@ _TEMPLATE = r"""<!DOCTYPE html>
    <option>2</option><option selected>5</option><option>10</option><option>20</option></select> fps</div>
  <div>score &ge; <input id="thr" type="range" min="0" max="100" value="0">
   <span id="thrv">0.00</span></div>
+ <div>color <select id="cmode"><option value="uniform">uniform</option>
+   <option value="z">height</option><option value="i">intensity</option></select>
+  &middot; size <input id="psize" type="range" min="5" max="40" value="12"></div>
  <div><label><input id="showdet" type="checkbox" checked> pred</label>
   <label><input id="showgt" type="checkbox" checked> gt</label>
   <label><input id="showpts" type="checkbox" checked> points</label>
   <label><input id="bytrack" type="checkbox"> color by track</label></div>
  <div id="legend"></div>
+ <div>view <button id="vbev">bev</button><button id="vfront">front</button>
+  <button id="vreset">reset</button><button id="shot">&#128247; png</button></div>
  <div id="follow" style="color:#7fd08f"></div>
 </div>
-<div id="info">drag orbit &middot; wheel zoom &middot; shift-drag pan &middot; click box = follow track &middot; esc = unfollow</div>
+<div id="inspect"></div>
+<div id="info">drag orbit &middot; wheel zoom &middot; shift-drag pan &middot; click box = follow + inspect &middot; esc = unfollow</div>
 <canvas id="cv"></canvas>
 <script>
 const DATA=__DATA__, COLORS=__COLORS__;
 const cv=document.getElementById('cv'), ctx=cv.getContext('2d');
 let W,H; function resize(){W=cv.width=innerWidth;H=cv.height=innerHeight;draw();}
 addEventListener('resize',resize);
-// decode base64 Float32Array point clouds once
+// decode base64 Float32Array point clouds once; per-frame channel count in .pc
 const clouds=DATA.map(f=>{const raw=atob(f.pts);const buf=new ArrayBuffer(raw.length);
  const u8=new Uint8Array(buf);for(let i=0;i<raw.length;i++)u8[i]=raw.charCodeAt(i);
  return new Float32Array(buf);});
+const NCH=DATA.map(f=>f.pc||3);
+if(!DATA.some((f,i)=>NCH[i]>=4))document.querySelector('#cmode option[value=i]').disabled=true;
 // camera state
-let yaw=-0.9,pitch=0.9,dist=60,target=[0,0,0],followId=null;
+let yaw=-0.9,pitch=0.9,dist=60,target=[0,0,0],followId=null,inspected=null;
 let fi=0,playing=false;
 const el=id=>document.getElementById(id);
 el('frame').max=DATA.length-1;
-const legend=Object.entries(COLORS).map(([k,c])=>
- `<span class="sw" style="background:${c}"></span>${k}`).join('');
-el('legend').innerHTML=legend+'<span class="sw" style="background:#fff"></span>GT';
+// per-class label LUT: visibility checkbox + live color picker (the
+// reference's LabelLUTEdit). Classes = palette keys U names in the data.
+const classSet=new Set(Object.keys(COLORS));
+DATA.forEach(f=>(f.det||[]).concat(f.gt||[]).forEach(o=>classSet.add(o.n)));
+const clsVis={};
+el('legend').innerHTML=[...classSet].map(k=>{clsVis[k]=true;
+ return `<label><input type="checkbox" class="cvis" data-k="${k}" checked>`+
+  `<input type="color" class="ccol" data-k="${k}" value="${COLORS[k]||'#33cc55'}"> ${k}</label>`;
+}).join(' ')+' <span class="sw" style="background:#fff"></span>GT';
+document.querySelectorAll('.cvis').forEach(b=>b.oninput=e=>{clsVis[e.target.dataset.k]=e.target.checked;draw();});
+document.querySelectorAll('.ccol').forEach(b=>b.oninput=e=>{COLORS[e.target.dataset.k]=e.target.value;draw();});
+// turbo-style 6-stop colormap, quantized to 24 bins for batched canvas draws
+const STOPS=[[48,18,59],[65,69,171],[57,140,247],[31,201,163],[114,239,74],[250,235,34]];
+const NBIN=24, BINCOL=[];
+for(let b=0;b<NBIN;b++){const t=b/(NBIN-1)*(STOPS.length-1),j=Math.min(STOPS.length-2,t|0),u=t-j;
+ BINCOL.push('rgb('+STOPS[j].map((v,k)=>Math.round(v+(STOPS[j+1][k]-v)*u)).join(',')+')');}
+// lazy per-frame bin index per color mode (z: channel 2, i: channel 3)
+const binCache={};
+function bins(fi,mode){const key=fi+mode;if(binCache[key])return binCache[key];
+ const P=clouds[fi],n=NCH[fi],ch=mode==='z'?2:3,N=P.length/n;
+ let lo=1e30,hi=-1e30;
+ for(let i=0;i<N;i++){const v=P[i*n+ch];if(v<lo)lo=v;if(v>hi)hi=v;}
+ if(mode==='z'){lo=Math.max(lo,-3);hi=Math.min(hi,lo+8);} // clip road..canopy
+ const s=hi>lo?(NBIN-1)/(hi-lo):0, out=new Uint8Array(N);
+ for(let i=0;i<N;i++){const b=(P[i*n+ch]-lo)*s;out[i]=b<0?0:b>NBIN-1?NBIN-1:b;}
+ return binCache[key]=out;}
 function proj(x,y,z){ // world -> screen (orbit camera, perspective)
  const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
  let dx=x-target[0],dy=y-target[1],dz=z-target[2];
@@ -165,9 +215,10 @@ function boxCorners(b){const[x,y,z,dx,dy,dz,h]=b;const c=Math.cos(h),s=Math.sin(
   const lx=sx*dx,ly=sy*dy;out.push([x+lx*c-ly*s,y+lx*s+ly*c,z+sz*dz]);}return out;}
 const EDGES=[[0,1],[0,2],[1,3],[2,3],[4,5],[4,6],[5,7],[6,7],[0,4],[1,5],[2,6],[3,7]];
 function trackColor(id){const h=(id*2654435761>>>0)%360;return `hsl(${h},75%,60%)`;}
-let boxHits=[]; // for click-to-follow
+let boxHits=[]; // for click-to-follow/inspect
 function drawBoxes(list,useTrack,defWhite){
  for(const o of list){
+  if(!clsVis[o.n])continue;
   const thr=+el('thr').value/100; if(!defWhite&&o.s<thr)continue;
   const col=defWhite?'#ffffff':(useTrack&&o.id>=0?trackColor(o.id):(COLORS[o.n]||'#33cc55'));
   const cs=boxCorners(o.b).map(p=>proj(...p)); if(cs.some(p=>!p))continue;
@@ -176,18 +227,36 @@ function drawBoxes(list,useTrack,defWhite){
   for(const[a,b2]of EDGES){ctx.moveTo(cs[a][0],cs[a][1]);ctx.lineTo(cs[b2][0],cs[b2][1]);}
   ctx.stroke();ctx.setLineDash([]);
   const cx=cs.reduce((s,p)=>s+p[0],0)/8, cy2=cs.reduce((s,p)=>s+p[1],0)/8;
-  if(!defWhite){boxHits.push([cx,cy2,o.id]);
+  if(!defWhite){boxHits.push([cx,cy2,o]);
    if(o.id>=0){ctx.fillStyle=col;ctx.font='11px monospace';
     ctx.fillText('#'+o.id+' '+o.s.toFixed(2),cx+4,cy2-4);}}
  }}
+function drawPoints(){
+ const P=clouds[fi],n=NCH[fi],N=P.length/n,szk=+el('psize').value/12;
+ let mode=el('cmode').value; if(mode==='i'&&n<4)mode='z';
+ if(mode==='uniform'){ctx.fillStyle='#7d8db0';
+  for(let i=0;i<N;i++){const p=proj(P[i*n],P[i*n+1],P[i*n+2]);
+   if(p){const s=szk*Math.max(1,Math.min(2.5,90/p[2]));ctx.fillRect(p[0],p[1],s,s);}}
+  return;}
+ const B=bins(fi,mode);      // one fillStyle per bin, points batched by bin
+ for(let b=0;b<NBIN;b++){ctx.fillStyle=BINCOL[b];
+  for(let i=0;i<N;i++){if(B[i]!==b)continue;
+   const p=proj(P[i*n],P[i*n+1],P[i*n+2]);
+   if(p){const s=szk*Math.max(1,Math.min(2.5,90/p[2]));ctx.fillRect(p[0],p[1],s,s);}}}}
+function showInspect(o){const p=el('inspect');
+ if(!o){p.style.display='none';return;}
+ const[x,y,z,dx,dy,dz,h]=o.b;
+ p.style.display='block';
+ p.innerHTML=`<b>${o.n}</b>${o.id>=0?' &middot; track #'+o.id:''}<br>`+
+  `score ${o.s.toFixed(3)}<br>ctr (${x.toFixed(2)}, ${y.toFixed(2)}, ${z.toFixed(2)})<br>`+
+  `dims ${dx.toFixed(2)} &times; ${dy.toFixed(2)} &times; ${dz.toFixed(2)}<br>`+
+  `heading ${(h*180/Math.PI).toFixed(1)}&deg;`;}
 function draw(){
  ctx.fillStyle='#0b0e14';ctx.fillRect(0,0,W,H);boxHits=[];
  const f=DATA[fi];
  if(followId!=null&&f.det){const o=f.det.find(o=>o.id===followId);
-  if(o)target=[o.b[0],o.b[1],o.b[2]];}
- if(el('showpts').checked){const P=clouds[fi];ctx.fillStyle='#7d8db0';
-  for(let i=0;i<P.length;i+=3){const p=proj(P[i],P[i+1],P[i+2]);
-   if(p){const s=Math.max(1,Math.min(2.5,90/p[2]));ctx.fillRect(p[0],p[1],s,s);}}}
+  if(o){target=[o.b[0],o.b[1],o.b[2]];showInspect(o);}}
+ if(el('showpts').checked&&clouds[fi].length)drawPoints();
  if(el('showgt').checked&&f.gt)drawBoxes(f.gt,false,true);
  if(el('showdet').checked&&f.det)drawBoxes(f.det,el('bytrack').checked,false);
  el('fno').textContent=fi;el('frame').value=fi;
@@ -202,19 +271,24 @@ addEventListener('mousemove',e=>{if(!drag)return;
  const dx=e.clientX-drag[0],dy=e.clientY-drag[1];
  if(drag[2]){const cy=Math.cos(yaw),sy=Math.sin(yaw),k=dist/600;
   target[0]-=(-dx*sy)*k; target[1]-=(dx*cy)*k; target[2]+=dy*k; followId=null;}
- else{yaw+=dx*0.008;pitch=Math.max(0.05,Math.min(1.5,pitch+dy*0.008));}
+ else{yaw+=dx*0.008;pitch=Math.max(0.05,Math.min(1.55,pitch+dy*0.008));}
  drag=[e.clientX,e.clientY,drag[2]];draw();});
 cv.onwheel=e=>{dist=Math.max(5,Math.min(400,dist*(e.deltaY>0?1.12:0.89)));draw();e.preventDefault();};
 cv.onclick=e=>{let best=null,bd=25*25;
- for(const[x,y,id]of boxHits){const d=(x-e.clientX)**2+(y-e.clientY)**2;
-  if(d<bd&&id>=0){bd=d;best=id;}}
- if(best!=null){followId=best;draw();}};
-addEventListener('keydown',e=>{if(e.key==='Escape'){followId=null;draw();}
+ for(const[x,y,o]of boxHits){const d=(x-e.clientX)**2+(y-e.clientY)**2;
+  if(d<bd){bd=d;best=o;}}
+ if(best!=null){if(best.id>=0)followId=best.id;inspected=best;showInspect(best);draw();}};
+addEventListener('keydown',e=>{if(e.key==='Escape'){followId=null;showInspect(null);draw();}
  if(e.key===' '){togglePlay();e.preventDefault();}
  if(e.key==='ArrowRight'){fi=Math.min(DATA.length-1,fi+1);draw();}
  if(e.key==='ArrowLeft'){fi=Math.max(0,fi-1);draw();}});
 el('frame').oninput=e=>{fi=+e.target.value;draw();};
-['thr','showdet','showgt','showpts','bytrack'].forEach(id=>el(id).oninput=draw);
+['thr','showdet','showgt','showpts','bytrack','cmode','psize'].forEach(id=>el(id).oninput=draw);
+el('vbev').onclick=()=>{pitch=1.55;yaw=-Math.PI/2;dist=90;draw();};
+el('vfront').onclick=()=>{pitch=0.12;yaw=0;dist=45;draw();};
+el('vreset').onclick=()=>{yaw=-0.9;pitch=0.9;dist=60;target=[0,0,0];followId=null;showInspect(null);draw();};
+el('shot').onclick=()=>{const a=document.createElement('a');
+ a.download='frame'+fi+'.png';a.href=cv.toDataURL('image/png');a.click();};
 let timer=null;
 function togglePlay(){playing=!playing;el('play').innerHTML=playing?'&#10074;&#10074;':'&#9654;';
  if(timer)clearInterval(timer);

@@ -37,7 +37,8 @@ def test_export_structure_and_payload(tmp_path):
     assert len(data) == 3
     raw = base64.b64decode(data[0]["pts"])
     pts = np.frombuffer(raw, np.float32)
-    assert len(pts) == 200 * 3  # downsampled to max_points, xyz only
+    # downsampled to max_points; 4-col input keeps intensity (pc=4)
+    assert data[0]["pc"] == 4 and len(pts) == 200 * 4
     assert np.isfinite(pts).all()
     det = data[1]["det"][0]
     assert det["n"] == "Vehicle" and det["id"] == 5
@@ -62,3 +63,4 @@ def test_empty_frames(tmp_path):
     data = json.loads(re.search(r"const DATA=(\[.*?\]), COLORS=",
                                 out.read_text(), re.S).group(1))
     assert "det" not in data[0] and "gt" not in data[0]
+    assert data[0]["pc"] == 3  # 3-col input stays xyz-only
